@@ -1,0 +1,139 @@
+"""Convolutional (patch-space) kernels.
+
+Rebuilds of:
+* ``MultiOutputConvKernel`` (`conv_gp/layers.py:12-50`) — per-patch-position
+  covariance blocks for hidden ConvLayers;
+* ``ConvKernel`` (`conv_gp/kernels.py:79-137`) — weighted double patch sum,
+  the default last-layer kernel (``--last-kernel conv``);
+* ``AdditivePatchKernel`` (`conv_gp/kernels.py:15-77`) — weighted mean over
+  per-patch kernels.  (The reference's ``K`` with ``X2=None`` had a latent
+  NameError, SURVEY.md §2 row 3; fixed here.)
+
+Every ``tf.map_fn`` over the patch axis becomes a batched/broadcast kernel
+evaluation — one big MXU matmul instead of P small ones.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from deepcgp_tpu.config import settings
+from deepcgp_tpu.ops.linalg import add_jitter
+
+
+@struct.dataclass
+class MultiOutputConvKernel:
+    """Shared base kernel evaluated independently at each patch position.
+
+    Stateless beyond the base kernel; ``patch_count`` is static geometry.
+    """
+
+    base_kernel: object
+    patch_count: int = struct.field(pytree_node=False, default=0)
+
+    def Kuu(self, Z: jax.Array) -> jax.Array:
+        """[M, M] = K(Z) + jitter I (`conv_gp/layers.py:18-21`)."""
+        return add_jitter(self.base_kernel.K(Z), settings.jitter)
+
+    def Kuf(self, Z: jax.Array, PNL_patches: jax.Array) -> jax.Array:
+        """[P, M, N] (`conv_gp/layers.py:23-32`), batched over P."""
+        K = self.base_kernel.K(PNL_patches, Z[None])  # [P, N, M]
+        return jnp.swapaxes(K, -1, -2)
+
+    def Kff(self, PNL_patches: jax.Array) -> jax.Array:
+        """[P, N, N] (`conv_gp/layers.py:34-41`)."""
+        return self.base_kernel.K(PNL_patches)
+
+    def Kdiag(self, PNL_patches: jax.Array) -> jax.Array:
+        """[P, N] (`conv_gp/layers.py:43-50`)."""
+        return self.base_kernel.Kdiag(PNL_patches)
+
+
+def _default_patch_weights(patch_count: int, patch_weights, dtype):
+    if patch_weights is None or np.asarray(patch_weights).size != patch_count:
+        patch_weights = np.ones(patch_count)
+    return jnp.asarray(patch_weights, dtype=dtype)
+
+
+@struct.dataclass
+class AdditivePatchKernel:
+    """K(x, x') = mean_i w_i k(x[i], x'[i]) (`conv_gp/kernels.py:15-77`).
+
+    ``view`` is static geometry; inputs are flattened images [N, H*W*C].
+    """
+
+    base_kernel: object
+    patch_weights: jax.Array  # [P]
+    view: object = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, base_kernel, view, patch_weights=None, dtype=jnp.float32):
+        return cls(base_kernel=base_kernel,
+                   patch_weights=_default_patch_weights(
+                       view.patch_count, patch_weights, dtype),
+                   view=view)
+
+    def _patches(self, ND_X: jax.Array) -> jax.Array:
+        N = ND_X.shape[0]
+        H, W = self.view.input_size
+        NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)
+        return self.view.extract_patches_NPL(NHWC)  # [N, P, L]
+
+    def K(self, ND_X: jax.Array, ND_X2: jax.Array | None = None) -> jax.Array:
+        P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)           # [P, N, L]
+        P2 = P1 if ND_X2 is None else jnp.swapaxes(self._patches(ND_X2), 0, 1)
+        PNN = self.base_kernel.K(P1, P2)                        # [P, N, N2]
+        PNN = PNN * self.patch_weights[:, None, None]
+        return jnp.mean(PNN, axis=0)
+
+    def Kdiag(self, ND_X: jax.Array) -> jax.Array:
+        P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)            # [P, N, L]
+        PN = self.base_kernel.Kdiag(P1)                          # [P, N]
+        return jnp.mean(PN * self.patch_weights[:, None], axis=0)
+
+    def Kzx(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
+        P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)            # [P, N, L]
+        PMN = jnp.swapaxes(self.base_kernel.K(P1, Z[None]), -1, -2)  # [P,M,N]
+        return jnp.mean(PMN * self.patch_weights[:, None, None], axis=0)
+
+    def Kzz(self, Z: jax.Array) -> jax.Array:
+        return self.base_kernel.K(Z)
+
+
+@struct.dataclass
+class ConvKernel(AdditivePatchKernel):
+    """Weighted double patch sum (`conv_gp/kernels.py:79-137`):
+    K(x, x') = sum_{ij} w_i w_j k(x[i], x'[j]) / P^2."""
+
+    def K(self, ND_X: jax.Array, ND_X2: jax.Array | None = None) -> jax.Array:
+        pc = self.view.patch_count
+        L = self.view.patch_length
+        p1 = self._patches(ND_X).reshape(-1, L)                 # [N*P, L]
+        p2 = p1 if ND_X2 is None else self._patches(ND_X2).reshape(-1, L)
+        Kfull = self.base_kernel.K(p1, p2)
+        N1 = ND_X.shape[0]
+        N2 = N1 if ND_X2 is None else ND_X2.shape[0]
+        Kfull = Kfull.reshape(N1, pc, N2, pc)
+        w = self.patch_weights
+        Kfull = Kfull * (w[None, :, None, None] * w[None, None, None, :])
+        return jnp.sum(Kfull, axis=(1, 3)) / (pc ** 2)
+
+    def Kdiag(self, ND_X: jax.Array) -> jax.Array:
+        pc = self.view.patch_count
+        patches = self._patches(ND_X)                            # [N, P, L]
+        NPP = self.base_kernel.K(patches)                        # [N, P, P]
+        w = self.patch_weights
+        W = w[:, None] * w[None, :]
+        return jnp.sum(NPP * W, axis=(1, 2)) / (pc ** 2)
+
+    def Kzx(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
+        pc = self.view.patch_count
+        L = self.view.patch_length
+        patches = self._patches(ND_X).reshape(-1, L)             # [N*P, L]
+        Kzx = self.base_kernel.K(Z, patches)                     # [M, N*P]
+        Kzx = Kzx.reshape(Z.shape[0], ND_X.shape[0], pc)
+        Kzx = jnp.sum(Kzx * self.patch_weights, axis=2)
+        return Kzx / pc

@@ -1,0 +1,249 @@
+"""GP layers: hidden convolutional SVGP layers and the final SVGP layer.
+
+Rebuild of `conv_gp/layers.py:52-162` (ConvLayer) and of the external
+``doubly_stochastic_dgp.layers.SVGP_Layer`` used as the last layer
+(`conv_gp/models.py:192-198`; the submodule is empty in the reference mount,
+so SVGPLayer here is implemented from the call-site contract and the
+Salimbeni-Deisenroth formulation — SURVEY.md §2 external row).
+
+Layers are flax.struct pytrees.  Each exposes:
+
+* ``precompute()`` -> cache holding the Cholesky of Kuu.  The doubly-
+  stochastic DGP re-enters a layer once per Monte-Carlo sample; Kuu depends
+  only on (Z, kernel hyperparameters), so the Cholesky is computed once per
+  step and shared across samples (the reference recomputes it per sample
+  path — SURVEY.md §3.3).
+* ``conditional_mean_var(cache, ND_X, full_cov)`` -> (mean [N, O], var).
+* ``KL()`` -> scalar.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from deepcgp_tpu.config import settings
+from deepcgp_tpu.models.conv_kernels import MultiOutputConvKernel
+from deepcgp_tpu.ops import linalg
+from deepcgp_tpu.ops.conditional import multi_output_conditional
+
+
+class LayerCache(typing.NamedTuple):
+    Lm: jax.Array  # Cholesky of Kuu(Z), [M, M]
+
+
+@struct.dataclass
+class ConvLayer:
+    """Hidden DGP layer: ``gp_count`` independent GPs shared across the P
+    patch positions; ``num_outputs = P * gp_count``
+    (`conv_gp/layers.py:52-94`)."""
+
+    base_kernel: object          # RBF / ArcCosine over patch space
+    Z: jax.Array                 # [M, L] inducing patches
+    q_mu: jax.Array              # [M, R]
+    q_sqrt: jax.Array            # [R, M, M] (lower triangle used)
+    Z0: jax.Array                # frozen Z snapshot for the KL prior
+    mean_function: object        # Zero / Conv2dMean / PatchwiseConv2d
+    view: object = struct.field(pytree_node=False, default=None)
+    white: bool = struct.field(pytree_node=False, default=False)
+    gp_count: int = struct.field(pytree_node=False, default=1)
+
+    # -- static geometry ----------------------------------------------------
+    @property
+    def patch_count(self) -> int:
+        return self.view.patch_count
+
+    @property
+    def num_inducing(self) -> int:
+        return self.Z.shape[0]
+
+    @property
+    def num_outputs(self) -> int:
+        return self.view.patch_count * self.gp_count
+
+    @property
+    def conv_kernel(self) -> MultiOutputConvKernel:
+        return MultiOutputConvKernel(base_kernel=self.base_kernel,
+                                     patch_count=self.view.patch_count)
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def create(cls, base_kernel, view, Z, *, mean_function, white=False,
+               gp_count=1, q_mu=None, q_sqrt=None, q_sqrt_scale=1.0,
+               dtype=jnp.float32) -> "ConvLayer":
+        """Initial variational params follow `conv_gp/layers.py:80-91,154-161`:
+        q_mu = 0; q_sqrt = chol(Kuu(Z)) tiled over gp_count (identity when
+        whitened).  ``q_sqrt_scale`` implements the builder's fresh-start
+        1e-5 scaling (`conv_gp/models.py:136-138`)."""
+        Z = jnp.asarray(Z, dtype=dtype)
+        M = Z.shape[0]
+        if q_mu is None:
+            q_mu = np.zeros((M, gp_count))
+        q_mu = jnp.asarray(q_mu, dtype=dtype)
+        if q_sqrt is None:
+            if white:
+                q_sqrt = jnp.broadcast_to(jnp.eye(M, dtype=dtype),
+                                          (gp_count, M, M))
+            else:
+                kern = MultiOutputConvKernel(base_kernel=base_kernel,
+                                             patch_count=view.patch_count)
+                Lu = linalg.cholesky(kern.Kuu(Z))
+                q_sqrt = jnp.broadcast_to(Lu[None], (gp_count, M, M))
+            q_sqrt = q_sqrt * q_sqrt_scale
+        else:
+            q_sqrt = jnp.asarray(q_sqrt, dtype=dtype)
+            if q_sqrt.ndim == 2:  # packed lower-tri checkpoint format
+                from deepcgp_tpu.utils.transforms import \
+                    lower_triangular_unflatten
+                q_sqrt = lower_triangular_unflatten(q_sqrt, M)
+        return cls(base_kernel=base_kernel, Z=Z, q_mu=q_mu, q_sqrt=q_sqrt,
+                   Z0=Z, mean_function=mean_function, view=view, white=white,
+                   gp_count=gp_count)
+
+    # -- compute --------------------------------------------------------------
+    def precompute(self) -> LayerCache:
+        return LayerCache(Lm=linalg.cholesky(self.conv_kernel.Kuu(self.Z)))
+
+    def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
+                             full_cov: bool = False):
+        """Rebuild of `conv_gp/layers.py:96-135`; returns
+        (mean [N, P*R], var [N, P*R] or [N, N, P*R])."""
+        N = ND_X.shape[0]
+        H, W = self.view.input_size
+        NHWC_X = ND_X.reshape(N, H, W, self.view.feature_maps)
+        NPL = self.view.extract_patches_NPL(NHWC_X)
+        PNL = jnp.swapaxes(NPL, 0, 1)
+
+        Kuf = self.conv_kernel.Kuf(self.Z, PNL)          # [P, M, N]
+        if full_cov:
+            Knn = self.conv_kernel.Kff(PNL)              # [P, N, N]
+        else:
+            Knn = self.conv_kernel.Kdiag(PNL)            # [P, N]
+
+        mean, var = multi_output_conditional(
+            Kuf, None, Knn, self.q_mu, full_cov=full_cov,
+            q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm)
+
+        if full_cov:
+            var = jnp.transpose(var, (2, 3, 1, 0)).reshape(
+                N, N, self.num_outputs)
+        else:
+            var = jnp.transpose(var, (2, 1, 0)).reshape(N, self.num_outputs)
+        mean = mean.reshape(N, self.num_outputs)
+
+        mean_view = self.view.mean_view(NHWC_X, NPL)
+        mean = mean + self.mean_function(mean_view)
+        return mean, var
+
+    def KL(self) -> jax.Array:
+        """KL[q(u) || p(u)].  Non-white prior Kuu is built from the *frozen*
+        Z snapshot (gradients flow through kernel hyperparameters but not Z
+        — reference `conv_gp/layers.py:149-152`, SURVEY.md §2)."""
+        if self.white:
+            return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
+        Kp = self.conv_kernel.Kuu(jax.lax.stop_gradient(self.Z0))
+        return linalg.gauss_kl(self.q_mu, self.q_sqrt, Kp)
+
+
+@struct.dataclass
+class SVGPLayer:
+    """Final SVGP layer over the whole (flattened) image with a single
+    kernel shared across ``num_outputs`` latent GPs
+    (contract of ``SVGP_Layer`` at `conv_gp/models.py:192-198`).
+
+    ``kernel`` is either a patch-sum kernel exposing Kzz/Kzx/Kdiag
+    (ConvKernel/AdditivePatchKernel with PatchInducingFeatures — dispatch at
+    `conv_gp/kernels.py:172-178`) or a plain base kernel (RBF with
+    InducingPoints, `conv_gp/models.py:160-168`)."""
+
+    kernel: object
+    Z: jax.Array                  # [M, D_feature]
+    q_mu: jax.Array               # [M, R]
+    q_sqrt: jax.Array             # [R, M, M]
+    mean_function: object
+    white: bool = struct.field(pytree_node=False, default=False)
+    num_outputs_static: int = struct.field(pytree_node=False, default=10)
+
+    @property
+    def num_inducing(self) -> int:
+        return self.Z.shape[0]
+
+    @property
+    def num_outputs(self) -> int:
+        return self.num_outputs_static
+
+    def _Kuu(self, Z) -> jax.Array:
+        if hasattr(self.kernel, 'Kzz'):
+            return linalg.add_jitter(self.kernel.Kzz(Z), settings.jitter)
+        return linalg.add_jitter(self.kernel.K(Z), settings.jitter)
+
+    def _Kuf(self, ND_X) -> jax.Array:
+        if hasattr(self.kernel, 'Kzx'):
+            return self.kernel.Kzx(self.Z, ND_X)
+        return self.kernel.K(self.Z, ND_X)
+
+    @classmethod
+    def create(cls, kernel, Z, *, num_outputs=10, mean_function=None,
+               white=False, q_mu=None, q_sqrt=None,
+               dtype=jnp.float32) -> "SVGPLayer":
+        from deepcgp_tpu.models.mean_functions import Zero
+        Z = jnp.asarray(Z, dtype=dtype)
+        M = Z.shape[0]
+        if mean_function is None:
+            mean_function = Zero(output_dim=num_outputs)
+        if q_mu is None:
+            q_mu = np.zeros((M, num_outputs))
+        q_mu = jnp.asarray(q_mu, dtype=dtype)
+        if q_sqrt is None:
+            if white:
+                q_sqrt = jnp.broadcast_to(jnp.eye(M, dtype=dtype),
+                                          (num_outputs, M, M))
+            else:
+                layer = cls(kernel=kernel, Z=Z, q_mu=q_mu,
+                            q_sqrt=jnp.zeros((num_outputs, M, M), dtype),
+                            mean_function=mean_function, white=white,
+                            num_outputs_static=num_outputs)
+                Lu = linalg.cholesky(layer._Kuu(Z))
+                q_sqrt = jnp.broadcast_to(Lu[None], (num_outputs, M, M))
+        else:
+            q_sqrt = jnp.asarray(q_sqrt, dtype=dtype)
+            if q_sqrt.ndim == 2:
+                from deepcgp_tpu.utils.transforms import \
+                    lower_triangular_unflatten
+                q_sqrt = lower_triangular_unflatten(q_sqrt, M)
+        return cls(kernel=kernel, Z=Z, q_mu=q_mu, q_sqrt=q_sqrt,
+                   mean_function=mean_function, white=white,
+                   num_outputs_static=num_outputs)
+
+    def precompute(self) -> LayerCache:
+        return LayerCache(Lm=linalg.cholesky(self._Kuu(self.Z)))
+
+    def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
+                             full_cov: bool = False):
+        N = ND_X.shape[0]
+        Kuf = self._Kuf(ND_X)[None]                      # [1, M, N]
+        if full_cov:
+            Knn = self.kernel.K(ND_X)[None]              # [1, N, N]
+        else:
+            Knn = self.kernel.Kdiag(ND_X)[None]          # [1, N]
+        mean, var = multi_output_conditional(
+            Kuf, None, Knn, self.q_mu, full_cov=full_cov,
+            q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm)
+        if full_cov:
+            var = jnp.transpose(var[:, 0], (1, 2, 0))    # [N, N, R]
+        else:
+            var = var[:, 0].T                            # [N, R]
+        mean = mean[:, 0, :] + self.mean_function(ND_X)  # [N, R]
+        return mean, var
+
+    def KL(self) -> jax.Array:
+        """Unlike ConvLayer, the prior Kuu here uses the *current* Z (the
+        external SVGP_Layer builds its prior Cholesky inside the graph, so Z
+        receives KL gradients)."""
+        if self.white:
+            return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
+        return linalg.gauss_kl(self.q_mu, self.q_sqrt, self._Kuu(self.Z))

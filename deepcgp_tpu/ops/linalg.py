@@ -1,0 +1,103 @@
+"""Linear-algebra primitives for sparse variational GP layers.
+
+TPU-native replacements for the reference's TF linalg surface
+(`conv_gp/conditionals.py:29-47`, `conv_gp/layers.py:137-158`):
+
+* jittered Cholesky (reference adds jitter at Kuu construction,
+  `conv_gp/layers.py:18-21`);
+* many-right-hand-side triangular solves replacing the per-patch
+  ``tf.map_fn(tf.matrix_triangular_solve)`` loops
+  (`conv_gp/conditionals.py:31-33,44-47`) with a single large solve that
+  XLA maps onto the MXU;
+* ``gauss_kl`` replacing gpflow's (`conv_gp/layers.py:137-147` call site).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from deepcgp_tpu.config import settings
+
+
+def add_jitter(K: jax.Array, jitter: float | None = None) -> jax.Array:
+    """K + jitter * I on the last two dims."""
+    if jitter is None:
+        jitter = settings.jitter
+    M = K.shape[-1]
+    return K + jitter * jnp.eye(M, dtype=K.dtype)
+
+
+def cholesky(K: jax.Array) -> jax.Array:
+    """Lower Cholesky. JAX returns NaN (not an exception) on failure; callers
+    that need the reference's retry behaviour (`conv_gp/experiment.py:38-49`)
+    check for NaNs instead of catching errors."""
+    return jnp.linalg.cholesky(K)
+
+
+def jittered_cholesky(K: jax.Array, jitter: float | None = None) -> jax.Array:
+    return cholesky(add_jitter(K, jitter))
+
+
+def solve_triangular_mrhs(L: jax.Array, B: jax.Array, *, lower: bool = True,
+                          trans: bool = False) -> jax.Array:
+    """Solve ``op(L) X = B`` where B may have arbitrary batch dims *behind*
+    the matrix dim: B has shape [..., M, N] with a single shared L [M, M].
+
+    The reference loops a triangular solve over the patch axis with
+    ``tf.map_fn`` (`conv_gp/conditionals.py:31-33`).  Here all batch axes are
+    folded into one wide right-hand side so the TPU sees one big solve.
+    """
+    M = L.shape[-1]
+    batch_shape = B.shape[:-2]
+    N = B.shape[-1]
+    if batch_shape:
+        # [..., M, N] -> [M, prod(batch)*N]
+        B2 = jnp.moveaxis(B, -2, 0).reshape(M, -1)
+    else:
+        B2 = B
+    X2 = lax.linalg.triangular_solve(
+        L, B2, left_side=True, lower=lower, transpose_a=trans)
+    if batch_shape:
+        X = jnp.moveaxis(X2.reshape((M,) + batch_shape + (N,)), 0, -2)
+    else:
+        X = X2
+    return X
+
+
+def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
+             K: jax.Array | None = None) -> jax.Array:
+    """KL[q(u) || p(u)] summed over independent GPs.
+
+    Matches gpflow 1.x ``gauss_kl`` as used at `conv_gp/layers.py:137-147`:
+
+    * ``q_mu``: [M, R] variational means.
+    * ``q_sqrt``: [R, M, M]; only the lower triangle is used (the reference
+      stores it under a LowerTriangular transform, `conv_gp/layers.py:85-91`).
+    * ``K``: shared [M, M] prior covariance, or None for a whitened
+      (identity) prior.
+
+    KL = 0.5 * sum_r [ tr(K^-1 S_r) + m_r^T K^-1 m_r - M
+                       - logdet(S_r) + logdet(K) ].
+    """
+    M, R = q_mu.shape
+    Lq = jnp.tril(q_sqrt)  # [R, M, M]
+
+    if K is None:
+        alpha = q_mu  # K^-1 m = m
+        trace = jnp.sum(jnp.square(Lq))
+        logdet_prior = jnp.zeros((), dtype=q_mu.dtype)
+    else:
+        Lp = cholesky(K)  # [M, M]
+        alpha = solve_triangular_mrhs(Lp, q_mu, lower=True)  # Lp^-1 m, [M, R]
+        # tr(K^-1 S_r) = || Lp^-1 Lq_r ||_F^2
+        LpiLq = solve_triangular_mrhs(Lp, Lq, lower=True)  # [R, M, M]
+        trace = jnp.sum(jnp.square(LpiLq))
+        logdet_prior = R * 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Lp))))
+
+    mahalanobis = jnp.sum(jnp.square(alpha))
+    logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(
+        jnp.diagonal(Lq, axis1=-2, axis2=-1))))
+    constant = jnp.asarray(M * R, dtype=q_mu.dtype)
+    return 0.5 * (trace + mahalanobis - constant - logdet_q + logdet_prior)

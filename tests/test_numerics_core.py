@@ -1,0 +1,154 @@
+"""Oracle-parity tests for the numerics core (SURVEY.md §7 stage 1-2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from deepcgp_tpu.models.base_kernels import RBF, ArcCosine
+from deepcgp_tpu.ops import linalg
+from deepcgp_tpu.ops.conditional import multi_output_conditional
+from deepcgp_tpu.ops.patches import extract_patches, extract_patches_conv
+from deepcgp_tpu.models.views import FullView, RandomPartialView
+
+RNG = np.random.RandomState(0)
+
+
+def test_rbf_matches_oracle_scalar_and_ard():
+    X = RNG.randn(7, 5)
+    X2 = RNG.randn(4, 5)
+    k = RBF.create(variance=5.0, lengthscales=5.0, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(k.K(X, X2)),
+                               oracle.rbf_K(5.0, 5.0, X, X2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(k.K(X)),
+                               oracle.rbf_K(5.0, 5.0, X), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(k.Kdiag(X)),
+                               np.full(7, 5.0), rtol=1e-9)
+    ls = RNG.rand(5) + 0.5
+    k2 = RBF.create(variance=2.0, lengthscales=ls, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(k2.K(X, X2)),
+                               oracle.rbf_K(2.0, ls, X, X2), rtol=1e-9)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+def test_arccosine_matches_oracle(order):
+    X = RNG.randn(6, 4)
+    X2 = RNG.randn(5, 4)
+    k = ArcCosine.create(variance=1.7, weight_variances=1.3,
+                         bias_variance=0.8, order=order, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(k.K(X, X2)),
+        oracle.arccosine_K(1.7, 1.3, 0.8, order, X, X2), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(k.Kdiag(X)),
+        np.diag(oracle.arccosine_K(1.7, 1.3, 0.8, order, X)), rtol=1e-7)
+
+
+def _random_spd(M):
+    A = RNG.randn(M, M)
+    return A @ A.T + M * np.eye(M)
+
+
+def test_solve_triangular_mrhs_batched():
+    M, P, N = 8, 5, 3
+    L = np.linalg.cholesky(_random_spd(M))
+    B = RNG.randn(P, M, N)
+    X = np.asarray(linalg.solve_triangular_mrhs(jnp.asarray(L), jnp.asarray(B)))
+    for p in range(P):
+        np.testing.assert_allclose(L @ X[p], B[p], atol=1e-10)
+    Xt = np.asarray(linalg.solve_triangular_mrhs(
+        jnp.asarray(L), jnp.asarray(B), trans=True))
+    for p in range(P):
+        np.testing.assert_allclose(L.T @ Xt[p], B[p], atol=1e-10)
+
+
+@pytest.mark.parametrize("white", [False, True])
+@pytest.mark.parametrize("full_cov", [False, True])
+def test_conditional_matches_oracle(white, full_cov):
+    P, M, N, R = 6, 9, 4, 3
+    Kmm = _random_spd(M)
+    Kmn = RNG.randn(P, M, N)
+    if full_cov:
+        Knn = np.stack([_random_spd(N) for _ in range(P)])
+    else:
+        Knn = RNG.rand(P, N) + 1.0
+    f = RNG.randn(M, R)
+    q_sqrt = np.tril(RNG.randn(R, M, M)) + 2 * np.eye(M)
+
+    got_mean, got_var = multi_output_conditional(
+        jnp.asarray(Kmn), jnp.asarray(Kmm), jnp.asarray(Knn), jnp.asarray(f),
+        full_cov=full_cov, q_sqrt=jnp.asarray(q_sqrt), white=white)
+    want_mean, want_var = oracle.conditional(
+        Kmn, Kmm, Knn, f, full_cov=full_cov, q_sqrt=q_sqrt, white=white)
+    np.testing.assert_allclose(np.asarray(got_mean), want_mean, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got_var), want_var, atol=1e-8)
+
+
+def test_conditional_no_qsqrt_and_precomputed_Lm():
+    P, M, N, R = 3, 7, 5, 2
+    Kmm = _random_spd(M)
+    Kmn = RNG.randn(P, M, N)
+    Knn = RNG.rand(P, N) + 1.0
+    f = RNG.randn(M, R)
+    want_mean, want_var = oracle.conditional(Kmn, Kmm, Knn, f)
+    Lm = jnp.linalg.cholesky(jnp.asarray(Kmm))
+    got_mean, got_var = multi_output_conditional(
+        jnp.asarray(Kmn), None, jnp.asarray(Knn), jnp.asarray(f), Lm=Lm)
+    np.testing.assert_allclose(np.asarray(got_mean), want_mean, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got_var), want_var, atol=1e-8)
+
+
+@pytest.mark.parametrize("use_K", [False, True])
+def test_gauss_kl_matches_oracle(use_K):
+    M, R = 10, 4
+    q_mu = RNG.randn(M, R)
+    q_sqrt = np.tril(RNG.randn(R, M, M)) + 2 * np.eye(M)
+    K = _random_spd(M) if use_K else None
+    got = linalg.gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_sqrt),
+                          None if K is None else jnp.asarray(K))
+    want = oracle.gauss_kl(q_mu, q_sqrt, K)
+    np.testing.assert_allclose(float(got), want, rtol=1e-9)
+
+
+@pytest.mark.parametrize("stride", [1, 2, 3])
+def test_extract_patches_matches_oracle(stride):
+    images = RNG.randn(3, 12, 10, 2)
+    want = oracle.extract_patches(images, 5, stride)
+    got = np.asarray(extract_patches(jnp.asarray(images), 5, stride))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    got_conv = np.asarray(extract_patches_conv(jnp.asarray(images), 5, stride))
+    np.testing.assert_allclose(got_conv, want, atol=1e-12)
+
+
+def test_full_view_geometry_matches_reference():
+    # 28x28, filter 5, stride 1 -> 576 patches (SURVEY.md §5.7).
+    v = FullView(input_size=(28, 28), filter_size=5, feature_maps=1)
+    assert v.patch_count == 576
+    assert v.patch_length == 25
+    assert (v.out_image_height, v.out_image_width) == (24, 24)
+    v2 = FullView(input_size=(32, 32), filter_size=5, feature_maps=3, stride=3)
+    assert v2.patch_count == 100
+    assert v2.patch_length == 75
+    X = RNG.randn(2, 28, 28, 1)
+    pnl = np.asarray(v.extract_patches_PNL(jnp.asarray(X)))
+    assert pnl.shape == (576, 2, 25)
+    np.testing.assert_allclose(pnl[0, 0], X[0, :5, :5, 0].ravel())
+
+
+def test_random_partial_view():
+    # Mirrors reference tests/test_views.py:15-29.
+    v = RandomPartialView(input_size=(28, 28), filter_size=3, feature_maps=1,
+                          patch_count=5, seed=0)
+    assert len(v.patch_indices) == 5
+    X = RNG.randn(10, 28, 28, 1)
+    p = np.asarray(v.extract_patches_PNL(jnp.asarray(X)))
+    assert p.shape == (5, 10, 9)
+    # Value equality against direct slicing.
+    full_w = 28 - 3 + 1
+    flat = v.patch_indices[0]
+    y, x = flat // full_w, flat % full_w
+    np.testing.assert_allclose(p[0, 0], X[0, y:y + 3, x:x + 3, 0].ravel())
+    # Deterministic under the same seed.
+    v_again = RandomPartialView(input_size=(28, 28), filter_size=3,
+                                feature_maps=1, patch_count=5, seed=0)
+    assert v_again.patch_indices == v.patch_indices
