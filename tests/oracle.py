@@ -120,3 +120,32 @@ def extract_patches(images, filter_size, stride=1):
                 out[n, p] = patch.reshape(-1)  # row-major (fh, fw, C)
                 p += 1
     return out
+
+
+def prob_is_largest(Y, mu, var, num_classes, num_gh=20):
+    """gpflow RobustMax.prob_is_largest, literal loops + numpy hermgauss."""
+    from scipy.special import erf
+    gh_x, gh_w = np.polynomial.hermite.hermgauss(num_gh)
+    mu = np.asarray(mu, np.float64)
+    var = np.asarray(var, np.float64)
+    Y = np.asarray(Y).reshape(-1)
+    N, K = mu.shape
+    out = np.zeros(N)
+    for n in range(N):
+        c = int(Y[n])
+        Xg = mu[n, c] + gh_x * np.sqrt(2.0 * var[n, c])
+        prod = np.ones(num_gh)
+        for j in range(K):
+            if j == c:
+                continue
+            cdf = 0.5 * (1 + erf((Xg - mu[n, j]) / np.sqrt(var[n, j]) /
+                                 np.sqrt(2.0)))
+            cdf = cdf * (1 - 2e-4) + 1e-4
+            prod = prod * cdf
+        out[n] = np.sum(prod * gh_w) / np.sqrt(np.pi)
+    return out
+
+
+def multiclass_variational_expectations(Y, mu, var, num_classes, eps=1e-3):
+    p = prob_is_largest(Y, mu, var, num_classes)
+    return p * np.log(1 - eps) + (1 - p) * np.log(eps / (num_classes - 1))
