@@ -30,6 +30,7 @@ from deepcgp_tpu.config import settings
 from deepcgp_tpu.models.conv_kernels import MultiOutputConvKernel
 from deepcgp_tpu.ops import linalg
 from deepcgp_tpu.ops.conditional import multi_output_conditional
+from deepcgp_tpu.parallel import sharding
 
 
 class LayerCache(typing.NamedTuple):
@@ -117,8 +118,12 @@ class ConvLayer:
         NHWC_X = ND_X.reshape(N, H, W, self.view.feature_maps)
         NPL = self.view.extract_patches_NPL(NHWC_X)
         PNL = jnp.swapaxes(NPL, 0, 1)
+        # Under an active mesh: batch -> 'data', patch axis -> 'model'
+        # (no-ops single-device; see deepcgp_tpu.parallel.sharding).
+        PNL = sharding.constrain(PNL, 'model', 'data', None)
 
         Kuf = self.conv_kernel.Kuf(self.Z, PNL)          # [P, M, N]
+        Kuf = sharding.constrain(Kuf, 'model', None, 'data')
         if full_cov:
             Knn = self.conv_kernel.Kff(PNL)              # [P, N, N]
         else:

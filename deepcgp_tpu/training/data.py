@@ -1,0 +1,138 @@
+"""Datasets + preprocessing.
+
+Rebuild of the data paths in `conv_gp/mnist.py:14-45` and
+`conv_gp/cifar.py:12-40`.  The reference pulls MNIST/fashion-MNIST/CIFAR-10
+with the ``observations`` package (network download); this environment has no
+egress, so loaders resolve in order:
+
+1. ``$DEEPCGP_DATA_DIR`` (or ``~/.cache/deepcgp``) containing ``mnist.npz`` /
+   ``fashion_mnist.npz`` / ``cifar10.npz`` with keys
+   ``x_train, y_train, x_test, y_test``;
+2. a deterministic synthetic fallback with the same shapes/dtypes (class-
+   conditional blob images), so every config stays runnable end-to-end.
+
+Preprocessing parity:
+* MNIST: per-pixel StandardScaler fit on train, reshape to 28x28x1
+  (`conv_gp/mnist.py:40-45`);
+* CIFAR-10: NCHW->NHWC, train tail moved into the test set, per-channel
+  mean/std normalisation (`conv_gp/cifar.py:13-40`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_SHAPES = {
+    'mnist': ((28, 28), 1, 10),
+    'fashion_mnist': ((28, 28), 1, 10),
+    'cifar10': ((32, 32), 3, 10),
+}
+
+
+def data_dir() -> str:
+    return os.environ.get('DEEPCGP_DATA_DIR',
+                          os.path.expanduser('~/.cache/deepcgp'))
+
+
+def _load_npz(name: str):
+    path = os.path.join(data_dir(), name + '.npz')
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as d:
+        return (d['x_train'], d['y_train'], d['x_test'], d['y_test'])
+
+
+def _synthetic(name: str, seed: int = 0):
+    """Class-conditional blob images; deterministic.  Shapes match the real
+    dataset so every pipeline/config runs without network access."""
+    (H, W), C, K = _SHAPES[name]
+    rng = np.random.RandomState(seed)
+    n_train, n_test = 6000, 1000
+    protos = rng.rand(K, H, W, C) * 255.0
+
+    def make(n, seed2):
+        r = np.random.RandomState(seed2)
+        y = r.randint(0, K, size=n)
+        x = protos[y] + r.randn(n, H, W, C) * 64.0
+        x = np.clip(x, 0, 255)
+        if name != 'cifar10':
+            x = x.reshape(n, H * W * C)  # observations-style flat uint8
+        else:
+            x = x.transpose(0, 3, 1, 2)  # observations returns NCHW
+        return x.astype(np.float64), y.astype(np.int64)
+
+    x_tr, y_tr = make(n_train, seed + 1)
+    x_te, y_te = make(n_test, seed + 2)
+    return x_tr, y_tr, x_te, y_te
+
+
+def load_dataset(name: str):
+    """Returns (x_train, y_train, x_test, y_test) in the reference's raw
+    layout (MNIST flat [N, 784]; CIFAR NCHW uint8-scale floats)."""
+    loaded = _load_npz(name)
+    if loaded is None:
+        import warnings
+        warnings.warn(
+            f"dataset '{name}' not found under {data_dir()} - "
+            "using the deterministic synthetic fallback")
+        loaded = _synthetic(name)
+    return loaded
+
+
+class StandardScaler:
+    """Per-feature standardisation (sklearn-compatible subset), kept local so
+    the training path has no sklearn dependency."""
+
+    def fit_transform(self, X):
+        self.mean_ = X.mean(axis=0)
+        self.scale_ = X.std(axis=0)
+        self.scale_ = np.where(self.scale_ == 0, 1.0, self.scale_)
+        return (X - self.mean_) / self.scale_
+
+    def transform(self, X):
+        return (X - self.mean_) / self.scale_
+
+
+def mnist_data(flags, dtype=np.float32, fashion: bool = False):
+    """`conv_gp/mnist.py:14-45` + subset selection."""
+    x_train, y_train, x_test, y_test = load_dataset(
+        'fashion_mnist' if fashion else 'mnist')
+    y_train = y_train.reshape(-1, 1)
+    y_test = y_test.reshape(-1, 1)
+    x_train, y_train = x_train[:flags.N], y_train[:flags.N]
+    rng = np.random.RandomState(getattr(flags, 'seed', 0))
+    chosen = rng.choice(np.arange(len(x_test)),
+                        min(flags.test_size, len(x_test)), replace=False)
+    x_test, y_test = x_test[chosen], y_test[chosen]
+    scaler = StandardScaler()
+    x_train = scaler.fit_transform(x_train.astype(np.float64)).astype(dtype)
+    x_test = scaler.transform(x_test.astype(np.float64)).astype(dtype)
+    return (x_train.reshape(-1, 28, 28, 1), y_train,
+            x_test.reshape(-1, 28, 28, 1), y_test)
+
+
+def cifar_data(flags, dtype=np.float32):
+    """`conv_gp/cifar.py:12-40`."""
+    x_train, y_train, x_test, y_test = load_dataset('cifar10')
+    x_train = np.transpose(x_train, (0, 2, 3, 1)).astype(np.float64)
+    x_test = np.transpose(x_test, (0, 2, 3, 1)).astype(np.float64)
+    y_train = y_train.reshape(-1, 1)
+    y_test = y_test.reshape(-1, 1)
+
+    N = min(flags.N, x_train.shape[0])
+    x_test = np.concatenate([x_train[N:], x_test], axis=0)
+    y_test = np.concatenate([y_train[N:], y_test], axis=0)
+    x_train, y_train = x_train[:N], y_train[:N]
+
+    mean = x_train.mean(axis=(0, 1, 2))
+    x_train -= mean
+    x_test -= mean
+    std = x_train.std(axis=(0, 1, 2))
+    x_train /= std
+    x_test /= std
+    if getattr(flags, 'test_size', None):
+        x_test = x_test[:flags.test_size]
+        y_test = y_test[:flags.test_size]
+    return (x_train.astype(dtype), y_train, x_test.astype(dtype), y_test)

@@ -1,0 +1,135 @@
+"""Experiment driver (rebuild of `conv_gp/experiment.py`).
+
+Template-method lifecycle: load data -> build model -> optimizer -> loggers
+(`conv_gp/experiment.py:14-20`); ``train_step()`` runs one ``test_every``-
+iteration epoch (a single jitted on-device scan), then logs and snapshots
+parameters (`conv_gp/experiment.py:28-31,56-64`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcgp_tpu.models.builder import build_model
+from deepcgp_tpu.training import trainer
+from deepcgp_tpu.training.arguments import train_steps
+from deepcgp_tpu.training.trainer import TrainConfig
+from deepcgp_tpu.utils import checkpoint as ckpt
+from deepcgp_tpu.utils import log as log_utils
+from deepcgp_tpu.utils.log import (AccuracyLogger, GlobalStepLogger,
+                                   LearningRateLogger, Log, TrainELBOLogger)
+
+
+class Experiment:
+    def __init__(self, flags):
+        self.flags = flags
+        self.last_mean_elbo = float('nan')
+        self._load_data()
+        self._setup_model()
+        self._setup_optimizer()
+        self._setup_logger()
+
+    # -- subclass hooks -------------------------------------------------------
+    def _load_data(self):
+        raise NotImplementedError
+
+    # -- lifecycle ------------------------------------------------------------
+    def conclude(self):
+        self.log.close()
+        if self.tensorboard_log is not None:
+            self.tensorboard_log.close()
+
+    def train_step(self):
+        self._optimize()
+        self._log_step()
+        self._save_model_parameters()
+
+    def run(self):
+        try:
+            for _ in range(train_steps(self.flags)):
+                self.train_step()
+        finally:
+            self.conclude()
+
+    # -- internals -------------------------------------------------------------
+    def _optimize(self):
+        self.state, elbos = trainer.run_chunk(
+            self.state, self.config, self.X_train_dev, self.Y_train_dev,
+            self.flags.test_every)
+        self.last_mean_elbo = float(jnp.mean(elbos)) / self.flags.batch_size
+
+    def _log_step(self):
+        entry = self.log.write_entry(self)
+        if self.tensorboard_log is not None:
+            self.tensorboard_log.write_entry(self)
+        print(entry, flush=True)
+
+    def _model_path(self, model_name=None):
+        if model_name is None:
+            model_name = self.flags.name
+        return os.path.join(self.flags.log_dir, model_name + '.npy')
+
+    def _save_model_parameters(self):
+        ckpt.save_model(self._model_path(), self.state.model,
+                        self.global_step)
+
+    def _setup_model(self):
+        key = jax.random.PRNGKey(self.flags.seed)
+        loaded, initial_step = None, 0
+        if self.flags.load_model is not None:
+            num_layers = len([m for m in str(self.flags.M).split(',') if m])
+            initial_step, loaded = ckpt.load_layer_parameters(
+                self._model_path(self.flags.load_model), num_layers)
+        self.model = build_model(self.flags, self.X_train, self.Y_train,
+                                 key, loaded_parameters=loaded)
+        self.initial_step = initial_step
+
+    def _setup_optimizer(self):
+        if self.flags.optimizer not in ('Adam', 'NatGrad', 'SGD'):
+            raise ValueError("Not a supported optimizer. Try Adam or NatGrad.")
+        self.config = TrainConfig(
+            optimizer=self.flags.optimizer, lr=self.flags.lr,
+            lr_decay_steps=self.flags.lr_decay_steps,
+            gamma=self.flags.gamma, batch_size=self.flags.batch_size)
+        key = jax.random.PRNGKey(self.flags.seed + 1)
+        self.state = trainer.init_state(self.model, self.config, key,
+                                        global_step=self.initial_step)
+        # Training data resident on device, flattened.
+        self.X_train_dev = jnp.asarray(
+            self.X_train.reshape(self.X_train.shape[0], -1))
+        self.Y_train_dev = jnp.asarray(self.Y_train)
+
+    def _setup_logger(self):
+        loggers = [GlobalStepLogger(), LearningRateLogger(),
+                   AccuracyLogger(), TrainELBOLogger()]
+        self.log = Log(self.flags.log_dir, self.flags.name, loggers)
+        self.log.write_flags(self.flags)
+        self.tensorboard_log = None
+        if not getattr(self.flags, 'no_tensorboard', False):
+            try:
+                from deepcgp_tpu.utils.tensorboard import make_default_log
+                self.tensorboard_log = make_default_log(self)
+            except Exception as e:  # TB is optional observability
+                print(f"tensorboard logging disabled: {e}")
+
+    # -- logger accessors -------------------------------------------------------
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step)
+
+    @property
+    def learning_rate(self) -> float:
+        from deepcgp_tpu.training.optim import learning_rate_schedule
+        return float(learning_rate_schedule(
+            self.flags.lr, self.flags.lr_decay_steps)(self.state.step))
+
+    def test_accuracy(self) -> float:
+        X = self.X_test.reshape(self.X_test.shape[0], -1)
+        return float(trainer.accuracy(
+            self.state.model, X, self.Y_test,
+            jax.random.PRNGKey(self.flags.seed + 2),
+            batch_size=32, num_samples=5))

@@ -1,0 +1,149 @@
+"""Jitted training loop.
+
+The reference's hot loop crosses Python->C++ once per optimizer step
+(`conv_gp/experiment.py:38-49`, SURVEY.md §3.1).  Here the whole
+``test_every``-step epoch runs as ONE jitted ``lax.scan`` on device: the
+minibatch is gathered from the resident training set with on-device PRNG
+indices, so there are zero host round-trips between optimizer steps.
+
+Optimizer wiring mirrors `conv_gp/experiment.py:90-111`:
+* Adam      — Adam on everything trainable;
+* SGD       — plain gradient descent;
+* NatGrad   — natural-gradient step on every layer's (q_mu, q_sqrt) followed
+              by an Adam step on the remaining parameters (two backward
+              passes, matching the reference's two sequential actions).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import lax
+
+from deepcgp_tpu.training import optim
+
+
+@struct.dataclass
+class TrainState:
+    model: typing.Any
+    opt_state: typing.Any
+    step: jax.Array          # global optimizer step (int32)
+    steps_back: jax.Array    # NatGrad gamma backoff counter (float)
+    key: jax.Array
+
+
+@struct.dataclass
+class TrainConfig:
+    optimizer: str = struct.field(pytree_node=False, default='Adam')
+    lr: float = struct.field(pytree_node=False, default=0.01)
+    lr_decay_steps: int = struct.field(pytree_node=False, default=100000)
+    gamma: float = struct.field(pytree_node=False, default=0.001)
+    batch_size: int = struct.field(pytree_node=False, default=32)
+
+
+def _adam_core():
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_state(model, config: TrainConfig, key: jax.Array,
+               global_step: int = 0) -> TrainState:
+    if config.optimizer == 'Adam' or config.optimizer == 'NatGrad':
+        opt_state = _adam_core().init(model)
+    elif config.optimizer == 'SGD':
+        opt_state = ()
+    else:
+        raise ValueError("Not a supported optimizer. Try Adam or NatGrad.")
+    dtype = model.layers[0].q_mu.dtype
+    return TrainState(model=model, opt_state=opt_state,
+                      step=jnp.asarray(global_step, jnp.int32),
+                      steps_back=jnp.asarray(0.0, dtype),
+                      key=key)
+
+
+def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
+    """One optimizer iteration; returns (new_state, elbo_value)."""
+    model = state.model
+    lr = optim.learning_rate_schedule(config.lr, config.lr_decay_steps)(
+        state.step)
+    steps_back = state.steps_back
+
+    key = state.key
+    if config.optimizer == 'NatGrad':
+        key, k_ng = jax.random.split(key)
+        gamma = optim.gamma_schedule(state.step, steps_back, config.gamma)
+        grads = jax.grad(lambda m: -m.elbo(xb, yb, k_ng))(model)
+        new_layers, steps_back, _ = optim.natgrad_step_with_backoff(
+            model.layers, grads.layers, gamma.astype(xb.dtype), steps_back)
+        model = model.replace(layers=new_layers)
+
+    key, k_mc = jax.random.split(key)
+    loss, grads = jax.value_and_grad(lambda m: -m.elbo(xb, yb, k_mc))(model)
+    mask = optim.trainable_mask(
+        model, exclude_variational=(config.optimizer == 'NatGrad'))
+    grads = optim.apply_mask(grads, mask)
+
+    if config.optimizer == 'SGD':
+        updates = grads
+    else:
+        updates, opt_state = _adam_core().update(grads, state.opt_state)
+        state = state.replace(opt_state=opt_state)
+    new_model = jax.tree_util.tree_map(
+        lambda p, u: p - lr.astype(p.dtype) * u, model, updates)
+
+    return state.replace(model=new_model, step=state.step + 1,
+                         steps_back=steps_back, key=key), -loss
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'num_steps'))
+def run_chunk(state: TrainState, config: TrainConfig, X_train, Y_train,
+              num_steps: int):
+    """``num_steps`` optimizer iterations as one on-device scan.
+    Minibatches are uniform random with replacement (gpflow Minibatch
+    semantics).  Returns (state, elbo trace [num_steps])."""
+    N = X_train.shape[0]
+
+    def body(state, _):
+        key, kb = jax.random.split(state.key)
+        idx = jax.random.randint(kb, (config.batch_size,), 0, N)
+        xb = jnp.take(X_train, idx, axis=0)
+        yb = jnp.take(Y_train, idx, axis=0)
+        state, elbo = train_step(state.replace(key=key), config, xb, yb)
+        return state, elbo
+
+    return lax.scan(body, state, length=num_steps)
+
+
+# --------------------------------------------------------------- evaluation
+@functools.partial(jax.jit, static_argnames=('num_samples',))
+def predict_probs(model, X, key, num_samples: int = 5):
+    """Mean class probabilities over MC samples, [N, K]
+    (`conv_gp/utils/log.py:62-66`)."""
+    probs, _ = model.predict_y(X, key, num_samples)
+    return jnp.mean(probs, axis=0)
+
+
+def accuracy(model, X_test, Y_test, key, batch_size: int = 32,
+             num_samples: int = 5) -> float:
+    """Batched test accuracy (`conv_gp/utils/log.py:50-68`).  The last short
+    batch is padded to keep a single compiled shape."""
+    import numpy as np
+    N = X_test.shape[0]
+    correct = 0
+    for start in range(0, N, batch_size):
+        xb = X_test[start:start + batch_size]
+        yb = Y_test[start:start + batch_size]
+        n = xb.shape[0]
+        if n < batch_size:
+            pad = batch_size - n
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                              xb.dtype)])
+        key, sub = jax.random.split(key)
+        probs = np.asarray(predict_probs(model, jnp.asarray(xb), sub,
+                                         num_samples))[:n]
+        correct += (probs.argmax(axis=1)[:, None] == yb).sum()
+    return correct / Y_test.size

@@ -1,0 +1,100 @@
+"""Checkpoint save / resume.
+
+Rebuild of the reference's parameter snapshot scheme:
+
+* save: flat dict {pathname: constrained numpy value} + global_step written
+  with ``np.save`` after every train epoch (`conv_gp/experiment.py:56-64`);
+* load: pathname parsing into per-layer dicts, shallower-to-deeper depth
+  remap (grow a deeper net from a shallow checkpoint), filter-size-mismatch
+  reset (`conv_gp/models.py:200-247`, SURVEY.md §3.5).
+
+Pathnames follow the reference's ``DGP/layers/<i>/<param>`` layout so the
+loader's substring matching (`conv_gp/models.py:214-228`) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from deepcgp_tpu.models.base_kernels import RBF
+from deepcgp_tpu.models.layers import ConvLayer
+
+
+def model_parameters(model, global_step: int) -> dict:
+    """Flat {pathname: constrained value} dict (+ global_step)."""
+    params = {}
+    for i, layer in enumerate(model.layers):
+        prefix = f'DGP/layers/{i}/'
+        params[prefix + 'q_mu'] = np.asarray(layer.q_mu)
+        params[prefix + 'q_sqrt'] = np.tril(np.asarray(layer.q_sqrt))
+        params[prefix + 'feature/Z'] = np.asarray(layer.Z)
+        if isinstance(layer, ConvLayer):
+            base = layer.base_kernel
+        else:
+            kern = layer.kernel
+            base = getattr(kern, 'base_kernel', kern)
+            pw = getattr(kern, 'patch_weights', None)
+            if pw is not None:
+                params[prefix + 'kern/patch_weights'] = np.asarray(pw)
+        if isinstance(base, RBF):
+            params[prefix + 'kern/base_kernel/variance'] = \
+                np.asarray(base.variance)
+            params[prefix + 'kern/base_kernel/lengthscales'] = \
+                np.asarray(base.lengthscales)
+    params['global_step'] = int(global_step)
+    return params
+
+
+def save_model(path: str, model, global_step: int) -> None:
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    np.save(path, np.asarray(model_parameters(model, global_step),
+                             dtype=object))
+
+
+def load_raw(path: str) -> dict:
+    return np.load(path, allow_pickle=True).item()
+
+
+def parse_layer_parameters(parameters: dict, model_layers: int):
+    """`conv_gp/models.py:200-240`: pathnames -> per-layer dicts + depth
+    remap.  Returns (global_step, {layer_index: params})."""
+    parameters = dict(parameters)
+    global_step = int(parameters.pop('global_step', 0))
+    layer_params = {}
+
+    for key, value in parameters.items():
+        if 'layers' not in key:
+            continue
+        parts = key.split('/')
+        layer = int(parts[2])
+        path = '/'.join(parts[3:])
+        values = layer_params.setdefault(layer, {})
+        # Priority matching mirrors `conv_gp/models.py:216-228`.
+        if 'q_mu' in path:
+            values['q_mu'] = value
+        elif 'q_sqrt' in path:
+            values['q_sqrt'] = value
+        elif 'Z' in path:
+            values['Z'] = value
+        elif 'base_kernel/variance' in path:
+            values['base_kernel/variance'] = value
+        elif 'base_kernel/lengthscales' in path:
+            values['base_kernel/lengthscales'] = value
+        elif 'patch_weights' in path:
+            values['patch_weights'] = value
+
+    stored_layers = max(layer_params.keys()) + 1
+    assert stored_layers <= model_layers, \
+        "Can't load a deeper checkpoint into a shallower model"
+    if stored_layers != model_layers:
+        # Move the stored last layer into the new last slot
+        # (`conv_gp/models.py:231-238`).
+        last = layer_params.pop(stored_layers - 1)
+        layer_params[model_layers - 1] = last
+    return global_step, layer_params
+
+
+def load_layer_parameters(path: str, model_layers: int):
+    return parse_layer_parameters(load_raw(path), model_layers)

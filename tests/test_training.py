@@ -1,0 +1,250 @@
+"""Training-layer tests: optimizers, natural gradients, builder, checkpoint,
+and an end-to-end smoke train (SURVEY.md §7 stages 5-7)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepcgp_tpu.models.base_kernels import RBF
+from deepcgp_tpu.models.builder import BuilderFlags, build_model, parse_ints
+from deepcgp_tpu.models.dgp import DGP
+from deepcgp_tpu.models.layers import SVGPLayer
+from deepcgp_tpu.models.likelihoods import Gaussian
+from deepcgp_tpu.training import optim, trainer
+from deepcgp_tpu.training.trainer import TrainConfig
+from deepcgp_tpu.utils import checkpoint as ckpt
+
+RNG = np.random.RandomState(3)
+
+
+# -------------------------------------------------------------------- optim
+def test_learning_rate_staircase():
+    sched = optim.learning_rate_schedule(0.01, 100)
+    assert float(sched(0)) == pytest.approx(0.01)
+    assert float(sched(99)) == pytest.approx(0.01)
+    assert float(sched(100)) == pytest.approx(0.001)
+    assert float(sched(250)) == pytest.approx(1e-4)
+    assert float(sched(300)) == pytest.approx(1e-5)
+
+
+def test_gamma_schedule_matches_reference_formula():
+    # min((step/100 * 1e-3 + gamma0) * 0.2^steps_back, 1)
+    g = optim.gamma_schedule(jnp.asarray(200), jnp.asarray(0.0), 0.001)
+    assert float(g) == pytest.approx(0.003)
+    g = optim.gamma_schedule(jnp.asarray(200), jnp.asarray(2.0), 0.001)
+    assert float(g) == pytest.approx(0.003 * 0.04)
+    g = optim.gamma_schedule(jnp.asarray(10 ** 9), jnp.asarray(0.0), 0.001)
+    assert float(g) == 1.0
+
+
+def _gaussian_svgp(N=20, M=8, D=3, R=2):
+    X = RNG.randn(N, D)
+    W = RNG.randn(D, R)
+    Y = X @ W + 0.1 * RNG.randn(N, R)
+    base = RBF.create(variance=1.0, lengthscales=1.2, dtype=jnp.float64)
+    Z = RNG.randn(M, D)
+    layer = SVGPLayer.create(base, Z, num_outputs=R, dtype=jnp.float64)
+    lik = Gaussian.create(variance=0.1, dtype=jnp.float64)
+    model = DGP(layers=(layer,), likelihood=lik, num_data=N, num_samples=1)
+    return model, jnp.asarray(X), jnp.asarray(Y)
+
+
+def test_natgrad_one_step_reaches_conjugate_optimum():
+    """With a Gaussian likelihood and a single layer the ELBO is available in
+    closed form in (q_mu, q_sqrt); a gamma=1 natural-gradient step lands on
+    the optimal q, so a second step is a fixed point (Salimbeni et al. 2018
+    — the property gpflow's NatGradOptimizer is built on)."""
+    model, X, Y = _gaussian_svgp()
+    key = jax.random.PRNGKey(0)
+
+    def do_step(m):
+        grads = jax.grad(lambda mm: -mm.elbo(X, Y, key))(m)
+        layers, _, ok = optim.natgrad_step_with_backoff(
+            m.layers, grads.layers, jnp.asarray(1.0, jnp.float64),
+            jnp.asarray(0.0))
+        assert bool(ok)
+        return m.replace(layers=layers)
+
+    m1 = do_step(model)
+    elbo1 = float(m1.elbo(X, Y, key))
+    elbo0 = float(model.elbo(X, Y, key))
+    assert elbo1 > elbo0
+    m2 = do_step(m1)
+    np.testing.assert_allclose(np.asarray(m2.layers[0].q_mu),
+                               np.asarray(m1.layers[0].q_mu), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jnp.tril(m2.layers[0].q_sqrt)),
+                               np.asarray(jnp.tril(m1.layers[0].q_sqrt)),
+                               atol=1e-6)
+
+
+def test_natgrad_backoff_on_failure():
+    model, X, Y = _gaussian_svgp()
+    grads = jax.grad(lambda m: -m.elbo(X, Y, jax.random.PRNGKey(0)))(model)
+    # A step that destroys positive-definiteness surfaces as NaNs from the
+    # Cholesky (JAX raises no exception); emulate with non-finite grads.
+    bad_grads = jax.tree_util.tree_map(lambda g: g * jnp.nan, grads)
+    layers, steps_back, ok = optim.natgrad_step_with_backoff(
+        model.layers, bad_grads.layers, jnp.asarray(1.0, jnp.float64),
+        jnp.asarray(0.0))
+    assert not bool(ok)
+    assert float(steps_back) == 1.0
+    # Old parameters kept.
+    np.testing.assert_allclose(np.asarray(layers[0].q_mu),
+                               np.asarray(model.layers[0].q_mu))
+    assert np.all(np.isfinite(np.asarray(layers[0].q_sqrt)))
+
+
+# ------------------------------------------------------------------ builder
+def _small_flags(**kw):
+    defaults = dict(M='6,8', feature_maps='2', filter_sizes='5,3',
+                    strides='2,1', base_kernel='rbf', last_kernel='conv',
+                    white=False, identity_mean=False, num_samples=2,
+                    batch_size=8)
+    defaults.update(kw)
+    return BuilderFlags(**defaults)
+
+
+def _small_data(n=40):
+    X = RNG.randn(n, 12, 12, 1).astype(np.float64)
+    Y = RNG.randint(0, 10, size=(n, 1))
+    return X, Y
+
+
+def test_builder_shapes_and_geometry():
+    X, Y = _small_data()
+    model = build_model(_small_flags(), X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+    assert len(model.layers) == 2
+    l1 = model.layers[0]
+    # 12x12, f5, s2 -> 4x4 = 16 patches.
+    assert l1.view.patch_count == 16
+    assert l1.Z.shape == (6, 25)
+    assert l1.q_mu.shape == (6, 2)
+    assert l1.q_sqrt.shape == (2, 6, 6)
+    # Fresh q_sqrt scaled 1e-5 (conv_gp/models.py:136-138).
+    assert float(jnp.max(jnp.abs(l1.q_sqrt))) < 1e-3
+    l2 = model.layers[1]
+    assert l2.q_mu.shape == (8, 10)
+    # Last layer sees the identity-conv-propagated 4x4x2 image; filter 3
+    # stride 1 -> 2x2 = 4 patches of length 18.
+    assert l2.kernel.view.patch_count == 4
+    assert l2.Z.shape == (8, 18)
+
+
+def test_builder_last_kernels():
+    X, Y = _small_data()
+    for last in ('conv', 'add', 'rbf'):
+        flags = _small_flags(M='6,8', filter_sizes='5,3', strides='2,1',
+                             last_kernel=last)
+        model = build_model(flags, X, Y, jax.random.PRNGKey(1),
+                            dtype=jnp.float64)
+        Xf = jnp.asarray(X.reshape(40, -1)[:6])
+        Yb = jnp.asarray(Y[:6])
+        elbo = float(model.elbo(Xf, Yb, jax.random.PRNGKey(2)))
+        assert np.isfinite(elbo), last
+
+
+def test_builder_identity_mean_and_acos():
+    X, Y = _small_data()
+    flags = _small_flags(identity_mean=True, base_kernel='acos',
+                         filter_sizes='5,3', strides='2,1')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(1),
+                        dtype=jnp.float64)
+    Xf = jnp.asarray(X.reshape(40, -1)[:6])
+    elbo = float(model.elbo(Xf, jnp.asarray(Y[:6]), jax.random.PRNGKey(2)))
+    assert np.isfinite(elbo)
+
+
+# -------------------------------------------------------------- trainable mask
+def test_trainable_mask_freezes_filters_and_Z0():
+    X, Y = _small_data()
+    flags = _small_flags(identity_mean=True, filter_sizes='5,3',
+                         strides='2,1')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+    mask = optim.trainable_mask(model, exclude_variational=False)
+    assert mask.layers[0].mean_function.conv_filter is False
+    assert mask.layers[0].Z0 is False
+    assert mask.layers[0].q_mu is True
+    mask_ng = optim.trainable_mask(model, exclude_variational=True)
+    assert mask_ng.layers[0].q_mu is False
+    assert mask_ng.layers[0].q_sqrt is False
+    assert mask_ng.layers[0].Z is True
+
+
+# ------------------------------------------------------------- checkpointing
+def test_checkpoint_roundtrip_and_depth_remap(tmp_path):
+    X, Y = _small_data()
+    flags = _small_flags(filter_sizes='5,3', strides='2,1')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+    path = os.path.join(tmp_path, 'model.npy')
+    ckpt.save_model(path, model, global_step=123)
+
+    step, layer_params = ckpt.load_layer_parameters(path, 2)
+    assert step == 123
+    model2 = build_model(flags, X, Y, jax.random.PRNGKey(9),
+                         loaded_parameters=layer_params, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(model2.layers[0].q_sqrt),
+                               np.asarray(jnp.tril(model.layers[0].q_sqrt)))
+    np.testing.assert_allclose(np.asarray(model2.layers[1].Z),
+                               np.asarray(model.layers[1].Z))
+    np.testing.assert_allclose(
+        float(model2.layers[0].base_kernel.variance),
+        float(model.layers[0].base_kernel.variance), rtol=1e-6)
+
+    # Depth remap: grow a 3-layer model from the 2-layer checkpoint
+    # (conv_gp/models.py:231-238) - saved last layer lands in slot 2.
+    step, lp3 = ckpt.load_layer_parameters(path, 3)
+    assert 2 in lp3 and 0 in lp3 and 1 not in lp3
+    np.testing.assert_allclose(lp3[2]['Z'], np.asarray(model.layers[1].Z))
+
+
+# ------------------------------------------------------- end-to-end training
+def test_run_chunk_improves_elbo_adam():
+    X, Y = _small_data(64)
+    flags = _small_flags(filter_sizes='5,3', strides='2,1')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+    config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=1000,
+                         gamma=0.001, batch_size=16)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    Xd = jnp.asarray(X.reshape(64, -1))
+    Yd = jnp.asarray(Y)
+    state, elbos1 = trainer.run_chunk(state, config, Xd, Yd, 30)
+    state, elbos2 = trainer.run_chunk(state, config, Xd, Yd, 30)
+    assert int(state.step) == 60
+    assert float(jnp.mean(elbos2)) > float(jnp.mean(elbos1))
+    # Frozen Z0 unchanged by training.
+    np.testing.assert_allclose(np.asarray(state.model.layers[0].Z0),
+                               np.asarray(model.layers[0].Z0))
+
+
+def test_run_chunk_natgrad_smoke():
+    X, Y = _small_data(48)
+    flags = _small_flags(filter_sizes='5,3', strides='2,1')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+    config = TrainConfig(optimizer='NatGrad', lr=0.01, lr_decay_steps=1000,
+                         gamma=0.001, batch_size=12)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    Xd = jnp.asarray(X.reshape(48, -1))
+    state, elbos = trainer.run_chunk(state, config, Xd, jnp.asarray(Y), 10)
+    assert np.all(np.isfinite(np.asarray(elbos)))
+    # Variational params moved (natgrad) and kernel params moved (adam).
+    assert float(jnp.max(jnp.abs(state.model.layers[0].q_mu))) > 0
+    assert float(jnp.abs(state.model.layers[0].base_kernel.raw_variance -
+                         model.layers[0].base_kernel.raw_variance)) > 0
+
+
+def test_accuracy_eval_runs():
+    X, Y = _small_data(40)
+    flags = _small_flags(filter_sizes='5,3', strides='2,1')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+    acc = trainer.accuracy(model, X.reshape(40, -1), Y,
+                           jax.random.PRNGKey(0), batch_size=16)
+    assert 0.0 <= acc <= 1.0
