@@ -12,11 +12,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_STEPS_PER_SEC = 2.14
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -35,10 +40,11 @@ def main():
     X = rng.randn(N, 32, 32, 3).astype(np.float32)
     Y = rng.randint(0, 10, size=(N, 1))
 
+    _log(f"devices: {jax.devices()}")
     t0 = time.time()
     model = build_model(flags, X, Y, jax.random.PRNGKey(0),
                         dtype=jnp.float32)
-    build_s = time.time() - t0
+    _log(f"model built in {time.time() - t0:.1f}s")
 
     config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=100000,
                          gamma=0.001, batch_size=32)
@@ -50,7 +56,7 @@ def main():
     t0 = time.time()
     state, elbos = trainer.run_chunk(state, config, Xd, Yd, 10)
     jax.block_until_ready(elbos)
-    warmup_s = time.time() - t0
+    _log(f"warmup chunk (compile + 10 steps) in {time.time() - t0:.1f}s")
 
     # Timed steady-state chunk.
     steps = 100

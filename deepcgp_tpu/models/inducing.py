@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from deepcgp_tpu.ops.kmeans import kmeans
 
@@ -24,16 +25,19 @@ def sample_patches(key: jax.Array, NHWC_X: jax.Array, count: int,
     [0, size - patch_size) — the reference's (exclusive) range."""
     N, H, W, C = NHWC_X.shape
     k1, k2, k3 = jax.random.split(key, 3)
-    img_idx = jax.random.randint(k1, (count,), 0, N)
-    ys = jax.random.randint(k2, (count,), 0, H - patch_size)
-    xs = jax.random.randint(k3, (count,), 0, W - patch_size)
+    img_idx = np.asarray(jax.random.randint(k1, (count,), 0, N))
+    ys = np.asarray(jax.random.randint(k2, (count,), 0, H - patch_size))
+    xs = np.asarray(jax.random.randint(k3, (count,), 0, W - patch_size))
 
-    def grab(i, y, x):
-        patch = jax.lax.dynamic_slice(
-            NHWC_X[i], (y, x, 0), (patch_size, patch_size, C))
-        return patch.reshape(-1)
-
-    return jax.vmap(grab)(img_idx, ys, xs)  # [count, patch_size^2 * C]
+    # Host-side gather: a device gather of `count` full images pads the C=3
+    # axis to the 128-wide lane tile and OOMs HBM; this is one-shot init-time
+    # work (the reference also does it on the host, kernels.py:139-159).
+    X = np.asarray(NHWC_X)
+    win = np.lib.stride_tricks.sliding_window_view(
+        X, (patch_size, patch_size), axis=(1, 2))   # [N, H-p+1, W-p+1, C, p, p]
+    patches = win[img_idx, ys, xs]                  # [count, C, p, p]
+    patches = np.moveaxis(patches, 1, -1)           # [count, p, p, C]
+    return jnp.asarray(patches.reshape(count, -1), dtype=NHWC_X.dtype)
 
 
 def patch_inducing_points(key: jax.Array, NHWC_X: jax.Array, M: int,
