@@ -52,14 +52,16 @@ def main():
     Xd = jnp.asarray(X.reshape(N, -1))
     Yd = jnp.asarray(Y)
 
-    # Warmup (compile + first execution).
+    # Warmup (compile + first execution).  num_steps is a static arg of the
+    # jitted scan, so the warmup chunk MUST have the same length as the timed
+    # one or the timing silently includes a fresh compile.
+    steps = 100
     t0 = time.time()
-    state, elbos = trainer.run_chunk(state, config, Xd, Yd, 10)
+    state, elbos = trainer.run_chunk(state, config, Xd, Yd, steps)
     jax.block_until_ready(elbos)
-    _log(f"warmup chunk (compile + 10 steps) in {time.time() - t0:.1f}s")
+    _log(f"warmup chunk (compile + {steps} steps) in {time.time() - t0:.1f}s")
 
     # Timed steady-state chunk.
-    steps = 100
     t0 = time.time()
     state, elbos = trainer.run_chunk(state, config, Xd, Yd, steps)
     jax.block_until_ready(elbos)

@@ -11,6 +11,9 @@ shallower-to-deeper depth remap.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +27,18 @@ from deepcgp_tpu.models.inducing import (inducing_points_from_data,
                                          patch_inducing_points)
 from deepcgp_tpu.models.layers import ConvLayer, SVGPLayer
 from deepcgp_tpu.models.likelihoods import MultiClass
-from deepcgp_tpu.models.mean_functions import Conv2dMean, IdentityConv2dMean, Zero
+from deepcgp_tpu.models.mean_functions import Conv2dMean, Zero
 from deepcgp_tpu.models.views import FullView
+
+
+_T0 = time.time()
+
+
+def _trace(msg: str) -> None:
+    """Build-stage breadcrumbs (DEEPCGP_VERBOSE_BUILD=1)."""
+    if os.environ.get('DEEPCGP_VERBOSE_BUILD'):
+        print(f"[build +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
 
 
 def parse_ints(int_string: str) -> list:
@@ -43,11 +56,21 @@ def image_HW(patch_count: int) -> list:
 def identity_conv(key, NHWC_X: np.ndarray, filter_size: int, fm_in: int,
                   fm_out: int, stride: int) -> np.ndarray:
     """Propagate initialisation inputs to the next layer with the identity
-    conv over 1000 random training images (`conv_gp/models.py:29-33`)."""
-    conv = IdentityConv2dMean.create(filter_size, fm_in, fm_out, stride)
-    idx = jax.random.randint(key, (1000,), 0, NHWC_X.shape[0])
-    sample = jnp.asarray(NHWC_X)[idx]
-    return np.asarray(conv(sample))
+    conv over 1000 random training images (`conv_gp/models.py:29-33`).
+
+    The identity mean's delta filter (centre weight 1 for every in->out
+    channel pair) makes the VALID conv equal to a strided centre-pixel slice
+    summed over input channels — computed here in host numpy because this is
+    one-shot init work and tiny convs compile pathologically slowly through
+    this platform's remote compiler."""
+    idx = np.asarray(jax.random.randint(key, (1000,), 0, NHWC_X.shape[0]))
+    X = np.asarray(NHWC_X)[idx]
+    c = filter_size // 2
+    Ho = (X.shape[1] - filter_size) // stride + 1
+    Wo = (X.shape[2] - filter_size) // stride + 1
+    centers = X[:, c:c + stride * Ho:stride, c:c + stride * Wo:stride, :]
+    out = centers.sum(axis=-1, keepdims=True)
+    return np.repeat(out, fm_out, axis=-1).astype(X.dtype)
 
 
 @dataclasses.dataclass
@@ -85,17 +108,21 @@ def build_model(flags, NHWC_X_train: np.ndarray, Y_train: np.ndarray,
     H_X = NHWC_X_train
     for i in range(len(feature_maps)):
         key, sub = jax.random.split(key)
+        _trace(f"conv layer {i}: M={Ms[i]} fm={feature_maps[i]} ...")
         layer, H_X = _conv_layer(flags, sub, H_X, Ms[i], feature_maps[i],
                                  filter_sizes[i], strides[i],
                                  loaded_parameters.get(i), dtype)
+        _trace(f"conv layer {i} done")
         layers.append(layer)
 
     last_params = None
     if loaded_parameters:
         last_params = loaded_parameters.get(max(loaded_parameters.keys()))
     key, sub = jax.random.split(key)
+    _trace(f"last layer: M={Ms[-1]} kernel={flags.last_kernel} ...")
     layers.append(_last_layer(flags, sub, H_X, Ms[-1], filter_sizes[-1],
                               strides[-1], last_params, dtype))
+    _trace("last layer done")
 
     return DGP(layers=tuple(layers), likelihood=MultiClass(10),
                num_data=NHWC_X_train.shape[0],
@@ -122,8 +149,10 @@ def _conv_layer(flags, key, NHWC_X, M, feature_map, filter_size, stride,
     if 'Z' in layer_params:
         Z = np.asarray(layer_params['Z'])
     else:
+        _trace("  patch_inducing_points (k-means) ...")
         Z = np.asarray(patch_inducing_points(
             k2, jnp.asarray(NHWC_X, dtype=dtype), M, filter_size))
+        _trace("  patch_inducing_points done")
 
     if flags.base_kernel == 'rbf':
         base_kernel = RBF.create(
@@ -182,8 +211,10 @@ def _last_layer(flags, key, H_X, M, filter_size, stride, layer_params, dtype):
             dtype=dtype)
         del input_dim
         if Z is None:
+            _trace("  last-layer patch k-means ...")
             Z = np.asarray(patch_inducing_points(
                 key, jnp.asarray(H_X, dtype=dtype), M, filter_size))
+            _trace("  last-layer patch k-means done")
         patch_weights = layer_params.get('patch_weights')
         if flags.last_kernel == 'conv':
             kernel = ConvKernel.create(base, view,

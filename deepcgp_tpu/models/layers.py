@@ -19,6 +19,7 @@ Layers are flax.struct pytrees.  Each exposes:
 
 from __future__ import annotations
 
+import functools
 import typing
 
 import jax
@@ -35,6 +36,25 @@ from deepcgp_tpu.parallel import sharding
 
 class LayerCache(typing.NamedTuple):
     Lm: jax.Array  # Cholesky of Kuu(Z), [M, M]
+
+
+@functools.partial(jax.jit, static_argnames=('count', 'scale'))
+def _init_qsqrt_conv(base_kernel, Z, count: int, scale: float) -> jax.Array:
+    """q_sqrt init = scale * chol(Kuu(Z)) tiled ``count`` times.  Jitted at
+    module level: construction-time eager ops each round-trip through the
+    remote compiler on this platform, so one compiled (and persistently
+    cached) program per shape makes model builds fast."""
+    kern = MultiOutputConvKernel(base_kernel=base_kernel, patch_count=1)
+    Lu = linalg.cholesky(kern.Kuu(Z))
+    M = Z.shape[0]
+    return jnp.broadcast_to(Lu[None], (count, M, M)) * scale
+
+
+@functools.partial(jax.jit, static_argnames=('count',))
+def _init_qsqrt_svgp(layer, Z, count: int) -> jax.Array:
+    Lu = linalg.cholesky(layer._Kuu(Z))
+    M = Z.shape[0]
+    return jnp.broadcast_to(Lu[None], (count, M, M))
 
 
 @struct.dataclass
@@ -87,14 +107,13 @@ class ConvLayer:
         q_mu = jnp.asarray(q_mu, dtype=dtype)
         if q_sqrt is None:
             if white:
-                q_sqrt = jnp.broadcast_to(jnp.eye(M, dtype=dtype),
-                                          (gp_count, M, M))
+                q_sqrt = np.broadcast_to(
+                    np.eye(M) * q_sqrt_scale,
+                    (gp_count, M, M)).astype(dtype)
+                q_sqrt = jnp.asarray(q_sqrt)
             else:
-                kern = MultiOutputConvKernel(base_kernel=base_kernel,
-                                             patch_count=view.patch_count)
-                Lu = linalg.cholesky(kern.Kuu(Z))
-                q_sqrt = jnp.broadcast_to(Lu[None], (gp_count, M, M))
-            q_sqrt = q_sqrt * q_sqrt_scale
+                q_sqrt = _init_qsqrt_conv(base_kernel, Z, gp_count,
+                                          float(q_sqrt_scale))
         else:
             q_sqrt = jnp.asarray(q_sqrt, dtype=dtype)
             if q_sqrt.ndim == 2:  # packed lower-tri checkpoint format
@@ -205,15 +224,14 @@ class SVGPLayer:
         q_mu = jnp.asarray(q_mu, dtype=dtype)
         if q_sqrt is None:
             if white:
-                q_sqrt = jnp.broadcast_to(jnp.eye(M, dtype=dtype),
-                                          (num_outputs, M, M))
+                q_sqrt = jnp.asarray(np.broadcast_to(
+                    np.eye(M), (num_outputs, M, M)).astype(dtype))
             else:
                 layer = cls(kernel=kernel, Z=Z, q_mu=q_mu,
                             q_sqrt=jnp.zeros((num_outputs, M, M), dtype),
                             mean_function=mean_function, white=white,
                             num_outputs_static=num_outputs)
-                Lu = linalg.cholesky(layer._Kuu(Z))
-                q_sqrt = jnp.broadcast_to(Lu[None], (num_outputs, M, M))
+                q_sqrt = _init_qsqrt_svgp(layer, Z, num_outputs)
         else:
             q_sqrt = jnp.asarray(q_sqrt, dtype=dtype)
             if q_sqrt.ndim == 2:
