@@ -28,6 +28,9 @@ class Settings:
     positive_minimum: float = 1e-6
     # Gauss-Hermite points for the robust-max likelihood (gpflow default).
     num_gauss_hermite_points: int = 20
+    # Use the Pallas fused RBF cross-covariance kernel for Kuf (TPU only,
+    # f32 only; falls back to the XLA path everywhere else).
+    use_pallas: bool = False
 
 
 settings = Settings()

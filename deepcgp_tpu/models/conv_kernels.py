@@ -24,6 +24,19 @@ from deepcgp_tpu.config import settings
 from deepcgp_tpu.ops.linalg import add_jitter
 
 
+def _pallas_ok(base_kernel, patches) -> bool:
+    """The fused Pallas path applies to f32 RBF on a TPU backend."""
+    from deepcgp_tpu.models.base_kernels import RBF
+    if not isinstance(base_kernel, RBF):
+        return False
+    if patches.dtype != jnp.float32:
+        return False
+    try:
+        return jax.default_backend() not in ('cpu',)
+    except Exception:
+        return False
+
+
 @struct.dataclass
 class MultiOutputConvKernel:
     """Shared base kernel evaluated independently at each patch position.
@@ -40,6 +53,13 @@ class MultiOutputConvKernel:
 
     def Kuf(self, Z: jax.Array, PNL_patches: jax.Array) -> jax.Array:
         """[P, M, N] (`conv_gp/layers.py:23-32`), batched over P."""
+        if settings.use_pallas and _pallas_ok(self.base_kernel, PNL_patches):
+            from deepcgp_tpu.ops.pallas_kernels import rbf_cross
+            P, N, L = PNL_patches.shape
+            ls = self.base_kernel.lengthscales
+            flat = (PNL_patches / ls).reshape(P * N, L)
+            K = rbf_cross(flat, Z / ls, self.base_kernel.variance)
+            return jnp.swapaxes(K.reshape(P, N, -1), -1, -2)
         K = self.base_kernel.K(PNL_patches, Z[None])  # [P, N, M]
         return jnp.swapaxes(K, -1, -2)
 
