@@ -32,12 +32,11 @@ def sample_patches(key: jax.Array, NHWC_X: jax.Array, count: int,
     # Host-side gather: a device gather of `count` full images pads the C=3
     # axis to the 128-wide lane tile and OOMs HBM; this is one-shot init-time
     # work (the reference also does it on the host, kernels.py:139-159).
-    X = np.asarray(NHWC_X)
-    win = np.lib.stride_tricks.sliding_window_view(
-        X, (patch_size, patch_size), axis=(1, 2))   # [N, H-p+1, W-p+1, C, p, p]
-    patches = win[img_idx, ys, xs]                  # [count, C, p, p]
-    patches = np.moveaxis(patches, 1, -1)           # [count, p, p, C]
-    return jnp.asarray(patches.reshape(count, -1), dtype=NHWC_X.dtype)
+    # Runs in the native C++ pipeline when built, numpy otherwise.
+    from deepcgp_tpu import native
+    patches = native.sample_patches(np.asarray(NHWC_X), img_idx, ys, xs,
+                                    patch_size)
+    return jnp.asarray(patches, dtype=NHWC_X.dtype)
 
 
 def patch_inducing_points(key: jax.Array, NHWC_X: jax.Array, M: int,

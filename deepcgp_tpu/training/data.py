@@ -82,17 +82,19 @@ def load_dataset(name: str):
 
 
 class StandardScaler:
-    """Per-feature standardisation (sklearn-compatible subset), kept local so
-    the training path has no sklearn dependency."""
+    """Per-feature standardisation (sklearn-compatible subset).  Fit/apply
+    run in the native C++ data pipeline when built
+    (deepcgp_tpu/native/dataio.cpp), numpy otherwise."""
 
     def fit_transform(self, X):
-        self.mean_ = X.mean(axis=0)
-        self.scale_ = X.std(axis=0)
-        self.scale_ = np.where(self.scale_ == 0, 1.0, self.scale_)
-        return (X - self.mean_) / self.scale_
+        from deepcgp_tpu import native
+        self.mean_, self.scale_ = native.fit_scaler(X)
+        return self.transform(X)
 
     def transform(self, X):
-        return (X - self.mean_) / self.scale_
+        from deepcgp_tpu import native
+        return native.standardize(X, self.mean_, self.scale_,
+                                  dtype=np.float64)
 
 
 def mnist_data(flags, dtype=np.float32, fashion: bool = False):
