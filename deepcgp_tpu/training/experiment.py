@@ -104,8 +104,9 @@ class Experiment:
         self.Y_train_dev = jnp.asarray(self.Y_train)
 
     def _setup_logger(self):
+        from deepcgp_tpu.utils.profiling import StepsPerSecLogger
         loggers = [GlobalStepLogger(), LearningRateLogger(),
-                   AccuracyLogger(), TrainELBOLogger()]
+                   AccuracyLogger(), TrainELBOLogger(), StepsPerSecLogger()]
         self.log = Log(self.flags.log_dir, self.flags.name, loggers)
         self.log.write_flags(self.flags)
         self.tensorboard_log = None
