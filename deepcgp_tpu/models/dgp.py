@@ -105,6 +105,12 @@ class DGP:
         return scale * self.expected_log_likelihood(X, Y, key, caches) \
             - self.prior_kl()
 
+    def compute_log_likelihood(self, X: jax.Array, Y: jax.Array,
+                               key: jax.Array) -> jax.Array:
+        """Reference API alias: the minibatch ELBO
+        (``model.compute_log_likelihood`` at `conv_gp/utils/tensorboard.py:32`)."""
+        return self.elbo(X, Y, key)
+
     # -- prediction ----------------------------------------------------------
     def predict_y(self, X: jax.Array, key: jax.Array, S: int):
         """Per-sample predictive mean/var of y (class probabilities for the
@@ -113,3 +119,13 @@ class DGP:
         res = self.propagate(X, key, S)
         return self.likelihood.predict_mean_and_var(
             res.means[-1], res.variances[-1])
+
+    def predict_density(self, X: jax.Array, Y: jax.Array, key: jax.Array,
+                        S: int) -> jax.Array:
+        """Per-point predictive log-density log E_S[p(y | f_L)]
+        (DGP_Base API; log-mean-exp over the S sample paths)."""
+        res = self.propagate(X, key, S)
+        Yb = jnp.broadcast_to(Y[None], (S,) + Y.shape)
+        logp = self.likelihood.predict_density(res.means[-1],
+                                               res.variances[-1], Yb)
+        return jax.nn.logsumexp(logp, axis=0) - jnp.log(float(S))

@@ -47,4 +47,9 @@ def default_parser() -> argparse.ArgumentParser:
                         help="Device mesh spec, e.g. 'data=4' or "
                              "'data=4,model=2'; empty = single device.")
     parser.add_argument('--no-tensorboard', action='store_true')
+    parser.add_argument('--full-state-ckpt', action='store_true',
+                        help="Also checkpoint the FULL train state (model + "
+                             "optimizer moments + PRNG key) with orbax and "
+                             "auto-resume from it; the reference-style .npy "
+                             "snapshot drops optimizer state.")
     return parser

@@ -76,6 +76,11 @@ class Experiment:
     def _save_model_parameters(self):
         ckpt.save_model(self._model_path(), self.state.model,
                         self.global_step)
+        if getattr(self.flags, 'full_state_ckpt', False):
+            ckpt.save_train_state(self._state_dir(), self.state)
+
+    def _state_dir(self) -> str:
+        return os.path.join(self.flags.log_dir, self.flags.name + '_state')
 
     def _setup_model(self):
         key = jax.random.PRNGKey(self.flags.seed)
@@ -98,6 +103,14 @@ class Experiment:
         key = jax.random.PRNGKey(self.flags.seed + 1)
         self.state = trainer.init_state(self.model, self.config, key,
                                         global_step=self.initial_step)
+        # Preemption resume: restore the full state (incl. optimizer
+        # moments, unlike the reference's .npy path) when present.
+        if getattr(self.flags, 'full_state_ckpt', False) and \
+                ckpt.latest_train_state_step(self._state_dir()) is not None:
+            self.state = ckpt.restore_train_state(self._state_dir(),
+                                                  self.state)
+            print(f"resumed full train state at step {int(self.state.step)}",
+                  flush=True)
         # Training data resident on device, flattened.
         self.X_train_dev = jnp.asarray(
             self.X_train.reshape(self.X_train.shape[0], -1))

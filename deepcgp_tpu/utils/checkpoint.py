@@ -98,3 +98,49 @@ def parse_layer_parameters(parameters: dict, model_layers: int):
 
 def load_layer_parameters(path: str, model_layers: int):
     return parse_layer_parameters(load_raw(path), model_layers)
+
+
+# ------------------------------------------------------------- full state
+# The reference's .npy snapshot drops optimizer state (Adam moments are NOT
+# saved — SURVEY.md §5.4), so resume restarts the moments from zero.  For
+# preemption tolerance the TPU build adds an orbax-backed checkpoint of the
+# ENTIRE TrainState (model + optimizer moments + step + PRNG key + NatGrad
+# backoff counter) alongside the reference-compatible snapshot.
+
+def save_train_state(directory: str, state, *, keep: int = 3) -> None:
+    """Write the full TrainState under ``directory/state_<step>``."""
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    step = int(state.step)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(directory, f'state_{step}'), state,
+                   force=True)
+    # Prune old snapshots (cheapest possible retention policy).
+    snaps = sorted((d for d in os.listdir(directory)
+                    if d.startswith('state_')),
+                   key=lambda d: int(d.split('_')[1]))
+    for old in snaps[:-keep]:
+        import shutil
+        shutil.rmtree(os.path.join(directory, old), ignore_errors=True)
+
+
+def latest_train_state_step(directory: str) -> int | None:
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(d.split('_')[1]) for d in os.listdir(directory)
+             if d.startswith('state_')]
+    return max(steps) if steps else None
+
+
+def restore_train_state(directory: str, abstract_state):
+    """Restore the newest full TrainState; ``abstract_state`` is a template
+    with the right structure/shapes/dtypes (e.g. a freshly built state)."""
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    step = latest_train_state_step(directory)
+    if step is None:
+        raise FileNotFoundError(f"no state_* checkpoints under {directory}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(directory, f'state_{step}'),
+                             abstract_state)

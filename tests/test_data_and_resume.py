@@ -1,0 +1,120 @@
+"""Data-module preprocessing parity + full-state checkpoint/resume."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcgp_tpu.models.builder import BuilderFlags, build_model
+from deepcgp_tpu.training import data, trainer
+from deepcgp_tpu.training.arguments import default_parser, train_steps
+from deepcgp_tpu.training.trainer import TrainConfig
+from deepcgp_tpu.utils import checkpoint as ckpt
+
+
+def _flags(**kw):
+    f = types.SimpleNamespace(N=100, test_size=40, seed=0)
+    f.__dict__.update(kw)
+    return f
+
+
+def test_mnist_preprocessing_standardized():
+    xtr, ytr, xte, yte = data.mnist_data(_flags())
+    assert xtr.shape == (100, 28, 28, 1) and xtr.dtype == np.float32
+    assert ytr.shape == (100, 1)
+    flat = xtr.reshape(100, -1)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=1e-4)
+    stds = flat.std(axis=0)
+    assert np.all((np.isclose(stds, 1.0, atol=1e-3)) | (stds < 1e-6))
+    assert xte.shape == (40, 28, 28, 1)
+
+
+def test_cifar_tail_moves_to_test_and_normalizes():
+    # Synthetic CIFAR has 6000 train points; ask for 5000 so 1000 move.
+    f = _flags(N=5000, test_size=None)
+    xtr, ytr, xte, yte = data.cifar_data(f)
+    assert xtr.shape == (5000, 32, 32, 3)
+    assert xte.shape[0] == 1000 + 1000  # moved tail + original test
+    # Accumulate in f64: the returned arrays are f32 and np.std in f32
+    # carries ~0.3% accumulation error over 5M elements.
+    flat64 = xtr.astype(np.float64)
+    np.testing.assert_allclose(flat64.mean(axis=(0, 1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(flat64.std(axis=(0, 1, 2)), 1.0, atol=1e-5)
+
+
+def test_train_steps_formula():
+    f = _flags(lr=0.01, lr_decay_steps=100000, test_every=50000)
+    # log_0.1(5e-5/0.01) = 2.301; ceil(100000*2.301/50000) = 5
+    assert train_steps(f) == 5
+
+
+def test_default_parser_reference_flags():
+    args = default_parser().parse_args(
+        ['--name', 'x', '-M', '64,64', '--feature-maps', '4',
+         '--last-kernel', 'add', '--white'])
+    assert args.M == '64,64' and args.white and args.last_kernel == 'add'
+    assert args.optimizer == 'Adam' and args.gamma == 0.001
+
+
+def _tiny_state():
+    rng = np.random.RandomState(0)
+    X = rng.randn(32, 8, 8, 1).astype(np.float32)
+    Y = rng.randint(0, 10, size=(32, 1))
+    flags = BuilderFlags(M='4,4', feature_maps='2', filter_sizes='3,3',
+                         strides='2,1', num_samples=2, batch_size=8)
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=100,
+                         gamma=0.001, batch_size=8)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    return state, config, X, Y
+
+
+def test_full_state_checkpoint_roundtrip(tmp_path):
+    state, config, X, Y = _tiny_state()
+    Xd = jnp.asarray(X.reshape(32, -1))
+    Yd = jnp.asarray(Y)
+    state, _ = trainer.run_chunk(state, config, Xd, Yd, 3)
+
+    ckpt.save_train_state(str(tmp_path), state)
+    assert ckpt.latest_train_state_step(str(tmp_path)) == 3
+
+    fresh, _, _, _ = _tiny_state()
+    restored = ckpt.restore_train_state(str(tmp_path), fresh)
+    assert int(restored.step) == 3
+    # Optimizer moments restored too (reference .npy drops them).
+    orig_mu = jax.tree_util.tree_leaves(state.opt_state)[0]
+    rest_mu = jax.tree_util.tree_leaves(restored.opt_state)[0]
+    np.testing.assert_allclose(np.asarray(orig_mu), np.asarray(rest_mu))
+    np.testing.assert_allclose(np.asarray(restored.model.layers[0].q_mu),
+                               np.asarray(state.model.layers[0].q_mu))
+    # Training continues from the restored state.
+    cont, elbos = trainer.run_chunk(restored, config, Xd, Yd, 2)
+    assert int(cont.step) == 5 and np.all(np.isfinite(np.asarray(elbos)))
+
+
+def test_full_state_keep_policy(tmp_path):
+    state, config, X, Y = _tiny_state()
+    Xd = jnp.asarray(X.reshape(32, -1))
+    Yd = jnp.asarray(Y)
+    for _ in range(5):
+        state, _ = trainer.run_chunk(state, config, Xd, Yd, 1)
+        ckpt.save_train_state(str(tmp_path), state, keep=2)
+    import os
+    snaps = [d for d in os.listdir(tmp_path) if d.startswith('state_')]
+    assert len(snaps) == 2
+    assert ckpt.latest_train_state_step(str(tmp_path)) == 5
+
+
+def test_predict_density_and_compute_ll():
+    state, config, X, Y = _tiny_state()
+    model = state.model
+    Xd = jnp.asarray(X.reshape(32, -1)[:8])
+    Yd = jnp.asarray(Y[:8])
+    key = jax.random.PRNGKey(3)
+    ll = model.compute_log_likelihood(Xd, Yd, key)
+    np.testing.assert_allclose(float(ll), float(model.elbo(Xd, Yd, key)))
+    dens = model.predict_density(Xd, Yd, key, S=3)
+    assert dens.shape == (8, 1)
+    assert np.all(np.asarray(dens) <= 0.0 + 1e-6)
