@@ -31,6 +31,10 @@ class Settings:
     # Use the Pallas fused RBF cross-covariance kernel for Kuf (TPU only,
     # f32 only; falls back to the XLA path everywhere else).
     use_pallas: bool = False
+    # Replace per-step wide triangular solves in the conditional with one
+    # triangular inverse + matmuls (MXU-friendlier; slightly less stable,
+    # covered by the jitter and the f32/f64 drift gate).
+    tri_inverse: bool = False
 
 
 settings = Settings()

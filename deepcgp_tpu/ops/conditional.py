@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from deepcgp_tpu.config import settings
 from deepcgp_tpu.ops import linalg
 
 
@@ -46,8 +47,19 @@ def multi_output_conditional(
 
     R = f.shape[1]
 
-    # A = Lm^-1 Kmn for every patch: one solve with P*N RHS.
-    A = linalg.solve_triangular_mrhs(Lm, Kmn, lower=True)  # [P, M, N]
+    if settings.tri_inverse:
+        # Invert the shared triangular factor ONCE (one M-RHS solve), then
+        # every downstream "solve" is a plain MXU matmul.  Triangular solves
+        # on TPU are sequential blocked substitutions; with P*N stacked
+        # right-hand sides per step they dominate the critical path.  The
+        # explicit inverse trades a little stability (covered by the 1e-3
+        # jitter; validated by utils/diagnostics.elbo_drift) for matmuls.
+        Lm_inv = linalg.solve_triangular_mrhs(
+            Lm, jnp.eye(Lm.shape[-1], dtype=Lm.dtype), lower=True)
+        A = jnp.einsum('ij,pjn->pin', Lm_inv, Kmn)         # [P, M, N]
+    else:
+        # A = Lm^-1 Kmn for every patch: one solve with P*N RHS.
+        A = linalg.solve_triangular_mrhs(Lm, Kmn, lower=True)  # [P, M, N]
 
     if full_cov:
         # fvar[p] = Knn[p] - A[p]^T A[p]
@@ -59,7 +71,10 @@ def multi_output_conditional(
 
     if not white:
         # Unwhitened: A <- Lm^-T A  (reference conditionals.py:44-47).
-        A = linalg.solve_triangular_mrhs(Lm, A, lower=True, trans=True)
+        if settings.tri_inverse:
+            A = jnp.einsum('ji,pjn->pin', Lm_inv, A)
+        else:
+            A = linalg.solve_triangular_mrhs(Lm, A, lower=True, trans=True)
 
     # fmean = A^T f per patch -> [N, P, R].
     fmean = jnp.einsum('pmn,mr->npr', A, f)

@@ -42,14 +42,9 @@ def _rbf_tile_kernel(var_ref, x_ref, z_ref, out_ref):
     out_ref[:] = var_ref[0, 0] * jnp.exp(-0.5 * d2)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def rbf_cross(x_scaled: jax.Array, z_scaled: jax.Array, variance: jax.Array,
-              *, interpret: bool = False) -> jax.Array:
-    """variance * exp(-0.5 ||x_n - z_m||^2): [N, M] in float32.
-
-    ``x_scaled`` [N, L] and ``z_scaled`` [M, L] must already be divided by
-    the lengthscales.
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _rbf_cross(x_scaled: jax.Array, z_scaled: jax.Array, variance: jax.Array,
+               interpret: bool) -> jax.Array:
     N, L = x_scaled.shape
     M = z_scaled.shape[0]
     tn = min(TILE_N, max(8, N))
@@ -69,3 +64,38 @@ def rbf_cross(x_scaled: jax.Array, z_scaled: jax.Array, variance: jax.Array,
         out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
         interpret=interpret,
     )(var, x_scaled.astype(jnp.float32), z_scaled.astype(jnp.float32))
+
+
+def _rbf_cross_fwd(x_scaled, z_scaled, variance, interpret):
+    out = _rbf_cross(x_scaled, z_scaled, variance, interpret)
+    return out, (x_scaled, z_scaled, variance, out)
+
+
+def _rbf_cross_bwd(interpret, res, g):
+    """Analytic VJP: with K = v exp(-0.5||x-z||^2) and W = g * K,
+    dK/dx[n,l] = -K[n,m](x[n,l]-z[m,l]) etc. — two MXU matmuls."""
+    del interpret
+    x, z, variance, out = res
+    W = g * out                                   # [N, M]
+    row = jnp.sum(W, axis=1, keepdims=True)       # [N, 1]
+    col = jnp.sum(W, axis=0)[:, None]             # [M, 1]
+    dx = W @ z - x * row
+    dz = W.T @ x - z * col
+    dvar = jnp.sum(W) / variance
+    return dx.astype(x.dtype), dz.astype(z.dtype), \
+        jnp.asarray(dvar, dtype=jnp.result_type(variance))
+
+
+_rbf_cross.defvjp(_rbf_cross_fwd, _rbf_cross_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def rbf_cross(x_scaled: jax.Array, z_scaled: jax.Array, variance: jax.Array,
+              *, interpret: bool = False) -> jax.Array:
+    """variance * exp(-0.5 ||x_n - z_m||^2): [N, M] in float32.
+
+    ``x_scaled`` [N, L] and ``z_scaled`` [M, L] must already be divided by
+    the lengthscales.  Differentiable via an analytic custom VJP (Pallas
+    kernels do not support reverse-mode autodiff directly).
+    """
+    return _rbf_cross(x_scaled, z_scaled, variance, interpret)

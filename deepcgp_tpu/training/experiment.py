@@ -57,9 +57,14 @@ class Experiment:
 
     # -- internals -------------------------------------------------------------
     def _optimize(self):
-        self.state, elbos = trainer.run_chunk(
-            self.state, self.config, self.X_train_dev, self.Y_train_dev,
-            self.flags.test_every)
+        if self.mesh is not None:
+            self.state, elbos = self._sharded_chunk(
+                self.state, self.X_train_dev, self.Y_train_dev,
+                self.flags.test_every)
+        else:
+            self.state, elbos = trainer.run_chunk(
+                self.state, self.config, self.X_train_dev, self.Y_train_dev,
+                self.flags.test_every)
         self.last_mean_elbo = float(jnp.mean(elbos)) / self.flags.batch_size
 
     def _log_step(self):
@@ -103,6 +108,17 @@ class Experiment:
         key = jax.random.PRNGKey(self.flags.seed + 1)
         self.state = trainer.init_state(self.model, self.config, key,
                                         global_step=self.initial_step)
+        # Multi-chip: '--mesh data=4,model=2' runs the training chunk as a
+        # pjit'd SPMD program over the device mesh (§2.10 of SURVEY.md is
+        # explicit that the reference has nothing like this).
+        self.mesh = None
+        self._sharded_chunk = None
+        if getattr(self.flags, 'mesh', ''):
+            from deepcgp_tpu.parallel import mesh as mesh_lib
+            from deepcgp_tpu.parallel.train import make_sharded_train_fns
+            self.mesh = mesh_lib.make_mesh(self.flags.mesh)
+            _, self._sharded_chunk = make_sharded_train_fns(self.mesh,
+                                                            self.config)
         # Preemption resume: restore the full state (incl. optimizer
         # moments, unlike the reference's .npy path) when present.
         if getattr(self.flags, 'full_state_ckpt', False) and \

@@ -1,0 +1,49 @@
+"""End-to-end Experiment lifecycle on the CPU backend: train -> eval ->
+CSV/TOML/TensorBoard/.npy artifacts -> checkpoint reload."""
+
+import os
+
+import numpy as np
+
+from deepcgp_tpu.mnist import MNIST, read_args
+
+
+def _args(tmp_path, *extra):
+    return read_args([
+        '--name', 'e2e', '-N', '64', '-M', '4,4',
+        '--feature-maps', '2', '--filter-sizes', '5,5', '--strides', '2,2',
+        '--test-every', '2', '--lr-decay-steps', '4', '--test-size', '32',
+        '--num-samples', '2', '--batch-size', '8',
+        '--log-dir', str(tmp_path),
+        '--tensorboard-dir', str(tmp_path / 'tb'), *extra])
+
+
+def test_experiment_full_lifecycle(tmp_path):
+    exp = MNIST(_args(tmp_path))
+    try:
+        exp.train_step()
+        exp.train_step()
+    finally:
+        exp.conclude()
+
+    run_dir = tmp_path / 'e2e'
+    csv_lines = (run_dir / 'log.csv').read_text().strip().splitlines()
+    assert csv_lines[0].startswith('Entry,global_step,lr,test_accuracy')
+    assert len(csv_lines) == 3  # header + 2 entries
+    toml = (run_dir / 'options.toml').read_text()
+    assert 'name = "e2e"' in toml and 'M = "4,4"' in toml
+    assert os.path.exists(tmp_path / 'e2e.npy')
+
+    # TensorBoard events written by the tensorboardX tasks.
+    tb_run = tmp_path / 'tb' / 'e2e'
+    assert any(f.startswith('events') for f in os.listdir(tb_run))
+
+    # The .npy snapshot reloads into a fresh model via --load-model.
+    exp2 = MNIST(_args(tmp_path, '--load-model', 'e2e', '--no-tensorboard'))
+    try:
+        assert exp2.global_step == 4
+        np.testing.assert_allclose(
+            np.asarray(exp2.state.model.layers[0].q_mu),
+            np.asarray(exp.state.model.layers[0].q_mu), rtol=1e-6)
+    finally:
+        exp2.conclude()

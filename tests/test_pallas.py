@@ -40,3 +40,25 @@ def test_rbf_cross_matches_rbf_kernel_with_lengthscales():
                                kern.variance, interpret=True))
     expected = np.asarray(kern.K(jnp.asarray(x), jnp.asarray(z)))
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_rbf_cross_custom_vjp_matches_jax_grad():
+    rng = np.random.RandomState(2)
+    N, M, L = 17, 9, 7
+    x = jnp.asarray(rng.randn(N, L).astype(np.float32))
+    z = jnp.asarray(rng.randn(M, L).astype(np.float32))
+    v = jnp.asarray(1.7, jnp.float32)
+    g = jnp.asarray(rng.randn(N, M).astype(np.float32))
+
+    def pallas_loss(x, z, v):
+        return jnp.sum(rbf_cross(x, z, v, interpret=True) * g)
+
+    def ref_loss(x, z, v):
+        d2 = jnp.sum((x[:, None, :] - z[None, :, :]) ** 2, -1)
+        return jnp.sum(v * jnp.exp(-0.5 * d2) * g)
+
+    gp = jax.grad(pallas_loss, argnums=(0, 1, 2))(x, z, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(x, z, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

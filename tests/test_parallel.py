@@ -68,3 +68,23 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sh_state.model.layers[1].Z),
         np.asarray(ref_state.model.layers[1].Z), atol=1e-7)
+
+
+def test_experiment_cli_mesh_end_to_end(tmp_path):
+    """The --mesh flag drives the whole Experiment loop as a pjit'd SPMD
+    program (one epoch on the 8-virtual-device CPU mesh)."""
+    from deepcgp_tpu.mnist import MNIST, read_args
+    args = read_args([
+        '--name', 'mesh_probe', '-N', '64', '-M', '4,4',
+        '--feature-maps', '2', '--filter-sizes', '5,5', '--strides', '2,2',
+        '--test-every', '3', '--lr-decay-steps', '4', '--test-size', '32',
+        '--num-samples', '2', '--batch-size', '8',
+        '--log-dir', str(tmp_path), '--no-tensorboard',
+        '--mesh', 'data=4,model=2'])
+    exp = MNIST(args)
+    try:
+        exp.train_step()
+        assert exp.global_step == 3
+        assert np.isfinite(exp.last_mean_elbo)
+    finally:
+        exp.conclude()
