@@ -51,17 +51,21 @@ class MultiOutputConvKernel:
         """[M, M] = K(Z) + jitter I (`conv_gp/layers.py:18-21`)."""
         return add_jitter(self.base_kernel.K(Z), settings.jitter)
 
-    def Kuf(self, Z: jax.Array, PNL_patches: jax.Array) -> jax.Array:
-        """[P, M, N] (`conv_gp/layers.py:23-32`), batched over P."""
+    def Kuf_PNM(self, Z: jax.Array, PNL_patches: jax.Array) -> jax.Array:
+        """[P, N, M]: the natural (and M-minor, layout-friendly) orientation
+        the batched kernel evaluation produces."""
         if settings.use_pallas and _pallas_ok(self.base_kernel, PNL_patches):
             from deepcgp_tpu.ops.pallas_kernels import rbf_cross
             P, N, L = PNL_patches.shape
             ls = self.base_kernel.lengthscales
             flat = (PNL_patches / ls).reshape(P * N, L)
             K = rbf_cross(flat, Z / ls, self.base_kernel.variance)
-            return jnp.swapaxes(K.reshape(P, N, -1), -1, -2)
-        K = self.base_kernel.K(PNL_patches, Z[None])  # [P, N, M]
-        return jnp.swapaxes(K, -1, -2)
+            return K.reshape(P, N, -1)
+        return self.base_kernel.K(PNL_patches, Z[None])  # [P, N, M]
+
+    def Kuf(self, Z: jax.Array, PNL_patches: jax.Array) -> jax.Array:
+        """[P, M, N] (`conv_gp/layers.py:23-32`), batched over P."""
+        return jnp.swapaxes(self.Kuf_PNM(Z, PNL_patches), -1, -2)
 
     def Kff(self, PNL_patches: jax.Array) -> jax.Array:
         """[P, N, N] (`conv_gp/layers.py:34-41`)."""

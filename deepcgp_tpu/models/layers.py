@@ -141,8 +141,8 @@ class ConvLayer:
         # (no-ops single-device; see deepcgp_tpu.parallel.sharding).
         PNL = sharding.constrain(PNL, 'model', 'data', None)
 
-        Kuf = self.conv_kernel.Kuf(self.Z, PNL)          # [P, M, N]
-        Kuf = sharding.constrain(Kuf, 'model', None, 'data')
+        Kuf = self.conv_kernel.Kuf_PNM(self.Z, PNL)      # [P, N, M]
+        Kuf = sharding.constrain(Kuf, 'model', 'data', None)
         if full_cov:
             Knn = self.conv_kernel.Kff(PNL)              # [P, N, N]
         else:
@@ -150,7 +150,8 @@ class ConvLayer:
 
         mean, var = multi_output_conditional(
             Kuf, None, Knn, self.q_mu, full_cov=full_cov,
-            q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm)
+            q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm,
+            layout='pnm')
 
         if full_cov:
             var = jnp.transpose(var, (2, 3, 1, 0)).reshape(
@@ -163,6 +164,12 @@ class ConvLayer:
         mean = mean + self.mean_function(mean_view)
         return mean, var
 
+    def sample_from_conditional(self, ND_X: jax.Array, key: jax.Array,
+                                full_cov: bool = False):
+        """Reparameterised sample from q(f | X): (sample, mean, var) — the
+        external Layer API used at `conv_gp/utils/tensorboard.py:73-74`."""
+        return _sample_from_conditional(self, ND_X, key, full_cov)
+
     def KL(self) -> jax.Array:
         """KL[q(u) || p(u)].  Non-white prior Kuu is built from the *frozen*
         Z snapshot (gradients flow through kernel hyperparameters but not Z
@@ -171,6 +178,24 @@ class ConvLayer:
             return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
         Kp = self.conv_kernel.Kuu(jax.lax.stop_gradient(self.Z0))
         return linalg.gauss_kl(self.q_mu, self.q_sqrt, Kp)
+
+
+def _sample_from_conditional(layer, ND_X, key, full_cov: bool):
+    from deepcgp_tpu.config import settings
+    cache = layer.precompute()
+    mean, var = layer.conditional_mean_var(cache, ND_X, full_cov=full_cov)
+    if full_cov:
+        # var [N, N, O]: correlated sample per output via Cholesky in N.
+        N = mean.shape[0]
+        cov = jnp.moveaxis(var, -1, 0)                       # [O, N, N]
+        L = linalg.cholesky(cov + settings.jitter
+                            * jnp.eye(N, dtype=mean.dtype))
+        z = jax.random.normal(key, (mean.shape[1], N), mean.dtype)
+        sample = mean + jnp.einsum('onk,ok->no', L, z)
+    else:
+        z = jax.random.normal(key, mean.shape, mean.dtype)
+        sample = mean + z * jnp.sqrt(var + settings.jitter)
+    return sample, mean, var
 
 
 @struct.dataclass
@@ -248,20 +273,26 @@ class SVGPLayer:
     def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
                              full_cov: bool = False):
         N = ND_X.shape[0]
-        Kuf = self._Kuf(ND_X)[None]                      # [1, M, N]
+        Kuf = jnp.swapaxes(self._Kuf(ND_X), -1, -2)[None]  # [1, N, M]
         if full_cov:
             Knn = self.kernel.K(ND_X)[None]              # [1, N, N]
         else:
             Knn = self.kernel.Kdiag(ND_X)[None]          # [1, N]
         mean, var = multi_output_conditional(
             Kuf, None, Knn, self.q_mu, full_cov=full_cov,
-            q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm)
+            q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm,
+            layout='pnm')
         if full_cov:
             var = jnp.transpose(var[:, 0], (1, 2, 0))    # [N, N, R]
         else:
             var = var[:, 0].T                            # [N, R]
         mean = mean[:, 0, :] + self.mean_function(ND_X)  # [N, R]
         return mean, var
+
+    def sample_from_conditional(self, ND_X: jax.Array, key: jax.Array,
+                                full_cov: bool = False):
+        """See ConvLayer.sample_from_conditional."""
+        return _sample_from_conditional(self, ND_X, key, full_cov)
 
     def KL(self) -> jax.Array:
         """Unlike ConvLayer, the prior Kuu here uses the *current* Z (the

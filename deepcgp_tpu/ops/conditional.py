@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from deepcgp_tpu.config import settings
 from deepcgp_tpu.ops import linalg
@@ -41,7 +42,16 @@ def multi_output_conditional(
     q_sqrt: jax.Array | None = None,
     white: bool = False,
     Lm: jax.Array | None = None,
+    layout: str = 'pmn',
 ):
+    """``layout``: 'pmn' takes Kmn as [P, M, N] (the reference layout);
+    'pnm' takes [P, N, M].  Internally everything runs M-minor ('pnm'):
+    M is a lane-tile multiple in practice while N is a small batch, so
+    keeping M innermost avoids the 128-lane padding and the layout-change
+    copies that otherwise dominate the step (measured ~2.1ms of a 4.4ms
+    step as copy/reshape ops in the profiler with the M-in-middle layout)."""
+    if layout == 'pmn':
+        Kmn = jnp.swapaxes(Kmn, -1, -2)                      # -> [P, N, M]
     if Lm is None:
         Lm = linalg.cholesky(Kmm)
 
@@ -49,43 +59,49 @@ def multi_output_conditional(
 
     if settings.tri_inverse:
         # Invert the shared triangular factor ONCE (one M-RHS solve), then
-        # every downstream "solve" is a plain MXU matmul.  Triangular solves
-        # on TPU are sequential blocked substitutions; with P*N stacked
-        # right-hand sides per step they dominate the critical path.  The
-        # explicit inverse trades a little stability (covered by the 1e-3
-        # jitter; validated by utils/diagnostics.elbo_drift) for matmuls.
+        # every downstream "solve" is a plain MXU matmul.  f64-mode option:
+        # the explicit inverse is not f32-train-stable for this workload.
         Lm_inv = linalg.solve_triangular_mrhs(
             Lm, jnp.eye(Lm.shape[-1], dtype=Lm.dtype), lower=True)
-        A = jnp.einsum('ij,pjn->pin', Lm_inv, Kmn)         # [P, M, N]
+        A = jnp.einsum('pnm,km->pnk', Kmn, Lm_inv)           # Kmn Lm^-T
     else:
-        # A = Lm^-1 Kmn for every patch: one solve with P*N RHS.
-        A = linalg.solve_triangular_mrhs(Lm, Kmn, lower=True)  # [P, M, N]
+        # Row form of A = Lm^-1 Kmn per patch: solve A Lm^T = Kmn with the
+        # P*N stacked rows kept M-minor (fold [P, N, M] -> [P*N, M]; the
+        # fold is layout-free since M is already innermost).
+        shape = Kmn.shape
+        A = lax.linalg.triangular_solve(
+            Lm, Kmn.reshape(-1, shape[-1]), left_side=False,
+            lower=True, transpose_a=True).reshape(shape)
 
     if full_cov:
-        # fvar[p] = Knn[p] - A[p]^T A[p]
-        fvar = Knn - jnp.einsum('pmn,pmk->pnk', A, A)        # [P, N, N]
+        # fvar[p] = Knn[p] - A[p] A[p]^T  (row form).
+        fvar = Knn - jnp.einsum('pnm,pkm->pnk', A, A)        # [P, N, N]
         fvar = jnp.broadcast_to(fvar[None], (R,) + fvar.shape)  # [R, P, N, N]
     else:
-        fvar = Knn - jnp.sum(jnp.square(A), axis=1)          # [P, N]
+        fvar = Knn - jnp.sum(jnp.square(A), axis=-1)         # [P, N]
         fvar = jnp.broadcast_to(fvar[None], (R,) + fvar.shape)  # [R, P, N]
 
     if not white:
-        # Unwhitened: A <- Lm^-T A  (reference conditionals.py:44-47).
+        # Unwhitened: A <- A Lm^-1 (row form of Lm^-T A,
+        # reference conditionals.py:44-47).
         if settings.tri_inverse:
-            A = jnp.einsum('ji,pjn->pin', Lm_inv, A)
+            A = jnp.einsum('pnm,mk->pnk', A, Lm_inv)
         else:
-            A = linalg.solve_triangular_mrhs(Lm, A, lower=True, trans=True)
+            shape = A.shape
+            A = lax.linalg.triangular_solve(
+                Lm, A.reshape(-1, shape[-1]), left_side=False,
+                lower=True).reshape(shape)
 
-    # fmean = A^T f per patch -> [N, P, R].
-    fmean = jnp.einsum('pmn,mr->npr', A, f)
+    # fmean = A f -> [N, P, R].
+    fmean = jnp.einsum('pnm,mr->npr', A, f)
 
     if q_sqrt is not None:
         L = jnp.tril(q_sqrt)                                  # [R, M, M]
-        # LTA[r, s, p, n] = sum_m L[r, m, s] A[p, m, n]  (L^T A).
-        LTA = jnp.einsum('rms,pmn->rspn', L, A)               # [R, M, P, N]
+        # LTA[r, p, n, s] = sum_m A[p, n, m] L[r, m, s]  ((L^T A) row form).
+        LTA = jnp.einsum('rms,pnm->rpns', L, A)               # [R, P, N, M]
         if full_cov:
-            fvar = fvar + jnp.einsum('rspn,rspk->rpnk', LTA, LTA)
+            fvar = fvar + jnp.einsum('rpns,rpks->rpnk', LTA, LTA)
         else:
-            fvar = fvar + jnp.sum(jnp.square(LTA), axis=1)    # [R, P, N]
+            fvar = fvar + jnp.sum(jnp.square(LTA), axis=-1)   # [R, P, N]
 
     return fmean, fvar

@@ -329,3 +329,35 @@ def test_dgp_first_layer_share_matches_per_sample_eval():
         jnp.broadcast_to(X[None], (4,) + X.shape))
     np.testing.assert_allclose(np.asarray(m2[2]), np.asarray(m1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(v2[2]), np.asarray(v1), atol=1e-12)
+
+
+def test_sample_from_conditional_moments():
+    """Diag-mode samples from q(f|X) must have the conditional's mean/var
+    (checked via MC over many keys on a tiny layer)."""
+    import jax
+    from deepcgp_tpu.models.base_kernels import RBF
+    from deepcgp_tpu.models.mean_functions import Zero
+    from deepcgp_tpu.models.views import FullView
+    from deepcgp_tpu.models.layers import ConvLayer
+
+    rng = np.random.RandomState(0)
+    view = FullView(input_size=(6, 6), filter_size=3, feature_maps=1,
+                    stride=1)
+    Z = rng.randn(5, 9)
+    layer = ConvLayer.create(RBF.create(dtype=jnp.float64), view, Z,
+                             mean_function=Zero(), gp_count=2,
+                             dtype=jnp.float64)
+    X = jnp.asarray(rng.randn(3, 36))
+    sample, mean, var = layer.sample_from_conditional(
+        X, jax.random.PRNGKey(0))
+    assert sample.shape == mean.shape == var.shape == (3, 32)
+
+    S = 4000
+    keys = jax.random.split(jax.random.PRNGKey(1), S)
+    samples = jax.vmap(
+        lambda k: layer.sample_from_conditional(X, k)[0])(keys)
+    emp_mean = np.asarray(samples.mean(axis=0))
+    emp_var = np.asarray(samples.var(axis=0))
+    np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=0.15)
+    np.testing.assert_allclose(emp_var, np.asarray(var) + 1e-3, rtol=0.25,
+                               atol=0.05)
