@@ -1,0 +1,120 @@
+"""Inference / serving layer.
+
+The reference's only prediction surface is the accuracy logger's batched
+``model.predict_y`` calls inside training (`conv_gp/utils/log.py:50-68`).
+For production serving the TPU build provides a standalone ``Predictor``:
+
+* loads a model from a reference-format ``.npy`` snapshot (+ the flags
+  recorded in ``options.toml``) or wraps an in-memory model;
+* serves class probabilities / labels / predictive log-densities with ONE
+  compiled program per batch shape — requests are padded to a fixed batch
+  so every call after the first is compile-free;
+* deterministic: MC sampling keys derive from a fixed seed + request count.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _parse_toml_min(path: str) -> dict:
+    """Minimal reader for the options.toml files Log.write_flags emits."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith('#') or '=' not in line:
+                continue
+            key, _, value = line.partition('=')
+            value = value.strip()
+            if value.startswith('"'):
+                out[key.strip()] = value.strip('"')
+            elif value in ('true', 'false'):
+                out[key.strip()] = value == 'true'
+            else:
+                try:
+                    out[key.strip()] = int(value)
+                except ValueError:
+                    try:
+                        out[key.strip()] = float(value)
+                    except ValueError:
+                        out[key.strip()] = value
+    return out
+
+
+class Predictor:
+    """Batched, pad-to-shape, jit-cached prediction server."""
+
+    def __init__(self, model, *, batch_size: int = 32, num_samples: int = 5,
+                 seed: int = 0):
+        self.model = model
+        self.batch_size = batch_size
+        self.num_samples = num_samples
+        self._base_key = jax.random.PRNGKey(seed)
+        self._calls = 0
+        S = num_samples
+
+        def _probs(m, xb, key):
+            probs, _ = m.predict_y(xb, key, S)
+            return jnp.mean(probs, axis=0)
+
+        self._probs_fn = jax.jit(_probs)
+
+    @classmethod
+    def from_run_dir(cls, run_dir: str, X_init: np.ndarray,
+                     Y_init: np.ndarray, **kw) -> "Predictor":
+        """Rebuild the model from a training run directory: flags from
+        ``<run>/options.toml``, parameters from ``<run>/../<name>.npy``.
+        ``X_init/Y_init``: data with the training shapes (only shapes and
+        init statistics are used — loaded params override everything)."""
+        from deepcgp_tpu.models.builder import build_model
+        from deepcgp_tpu.utils import checkpoint as ckpt
+        opts = _parse_toml_min(os.path.join(run_dir, 'options.toml'))
+        name = opts['name']
+        snap = os.path.join(os.path.dirname(run_dir.rstrip('/')),
+                            name + '.npy')
+        num_layers = len([m for m in str(opts['M']).split(',') if m])
+        _, loaded = ckpt.load_layer_parameters(snap, num_layers)
+        import types
+        flags = types.SimpleNamespace(**opts)
+        model = build_model(flags, X_init, Y_init, jax.random.PRNGKey(0),
+                            loaded_parameters=loaded)
+        return cls(model, **kw)
+
+    def _key(self) -> jax.Array:
+        self._calls += 1
+        return jax.random.fold_in(self._base_key, self._calls)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        """[N, D or H, W, C] -> [N, K] mean class probabilities."""
+        X = np.asarray(X)
+        N = X.shape[0]
+        flat = X.reshape(N, -1)
+        out = np.empty((N, self.model.likelihood.num_classes), np.float32)
+        B = self.batch_size
+        for start in range(0, N, B):
+            xb = flat[start:start + B]
+            n = xb.shape[0]
+            if n < B:  # pad to the compiled shape
+                xb = np.concatenate(
+                    [xb, np.zeros((B - n, xb.shape[1]), xb.dtype)])
+            probs = self._probs_fn(self.model, jnp.asarray(xb), self._key())
+            out[start:start + n] = np.asarray(probs)[:n]
+        return out
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        """[N, ...] -> [N] argmax class labels."""
+        return self.predict_proba(X).argmax(axis=1)
+
+    def log_density(self, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+        """Per-point predictive log p(y | x), [N]."""
+        X = np.asarray(X)
+        N = X.shape[0]
+        flat = jnp.asarray(X.reshape(N, -1))
+        dens = self.model.predict_density(flat, jnp.asarray(Y), self._key(),
+                                          S=self.num_samples)
+        return np.asarray(dens)[:, 0]

@@ -88,3 +88,17 @@ def test_experiment_cli_mesh_end_to_end(tmp_path):
         assert np.isfinite(exp.last_mean_elbo)
     finally:
         exp.conclude()
+
+
+def test_multihost_helpers_single_process():
+    from deepcgp_tpu.parallel import multihost
+    X = np.arange(20).reshape(10, 2)
+    # Single process: the shard is the whole array.
+    np.testing.assert_array_equal(multihost.process_shard(X), X)
+
+    mesh = mesh_lib.make_mesh({'data': 4})
+    Xg, Yg = multihost.host_local_to_global(
+        mesh, X.astype(np.float32)[:8], np.arange(8)[:, None])
+    assert Xg.shape == (8, 2)
+    assert len(Xg.sharding.device_set) == 4
+    np.testing.assert_array_equal(np.asarray(Xg), X[:8])
