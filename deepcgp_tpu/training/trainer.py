@@ -127,23 +127,34 @@ def predict_probs(model, X, key, num_samples: int = 5):
     return jnp.mean(probs, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=('batch_size', 'num_samples'))
+def predict_probs_scanned(model, X, key, batch_size: int = 32,
+                          num_samples: int = 5):
+    """Whole-set prediction as ONE program: a lax.scan over fixed-size
+    batches (pad + reshape), so an eval over the full test set costs one
+    dispatch instead of N/batch host round-trips."""
+    N = X.shape[0]
+    n_batches = -(-N // batch_size)
+    pad = n_batches * batch_size - N
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    Xb = Xp.reshape(n_batches, batch_size, X.shape[1])
+
+    def body(key, xb):
+        key, sub = jax.random.split(key)
+        probs, _ = model.predict_y(xb, sub, num_samples)
+        return key, jnp.mean(probs, axis=0)
+
+    _, probs = lax.scan(body, key, Xb)
+    return probs.reshape(n_batches * batch_size, -1)[:N]
+
+
 def accuracy(model, X_test, Y_test, key, batch_size: int = 32,
              num_samples: int = 5) -> float:
-    """Batched test accuracy (`conv_gp/utils/log.py:50-68`).  The last short
-    batch is padded to keep a single compiled shape."""
+    """Batched test accuracy (`conv_gp/utils/log.py:50-68`): mean class
+    probability over ``num_samples`` MC draws per batch of ``batch_size``,
+    argmax, fraction correct — evaluated on device in one scanned program."""
     import numpy as np
-    N = X_test.shape[0]
-    correct = 0
-    for start in range(0, N, batch_size):
-        xb = X_test[start:start + batch_size]
-        yb = Y_test[start:start + batch_size]
-        n = xb.shape[0]
-        if n < batch_size:
-            pad = batch_size - n
-            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
-                                              xb.dtype)])
-        key, sub = jax.random.split(key)
-        probs = np.asarray(predict_probs(model, jnp.asarray(xb), sub,
-                                         num_samples))[:n]
-        correct += (probs.argmax(axis=1)[:, None] == yb).sum()
-    return correct / Y_test.size
+    probs = np.asarray(predict_probs_scanned(
+        model, jnp.asarray(X_test), key, batch_size, num_samples))
+    return float((probs.argmax(axis=1)[:, None] == np.asarray(Y_test)).sum()
+                 / Y_test.size)
