@@ -95,15 +95,18 @@ class DGP:
         ve = self.likelihood.variational_expectations(Fmean, Fvar, Yb)
         return jnp.sum(jnp.mean(ve, axis=0))
 
-    def prior_kl(self) -> jax.Array:
-        return sum(layer.KL() for layer in self.layers)
+    def prior_kl(self, caches=None) -> jax.Array:
+        if caches is None:
+            caches = (None,) * len(self.layers)
+        return sum(layer.KL(cache)
+                   for layer, cache in zip(self.layers, caches))
 
     def elbo(self, X: jax.Array, Y: jax.Array, key: jax.Array) -> jax.Array:
         """Minibatch ELBO (what `model.compute_log_likelihood` evaluates)."""
         caches = self.precompute()
         scale = self.num_data / X.shape[0]
         return scale * self.expected_log_likelihood(X, Y, key, caches) \
-            - self.prior_kl()
+            - self.prior_kl(caches)
 
     def compute_log_likelihood(self, X: jax.Array, Y: jax.Array,
                                key: jax.Array) -> jax.Array:

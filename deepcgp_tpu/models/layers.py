@@ -170,10 +170,12 @@ class ConvLayer:
         external Layer API used at `conv_gp/utils/tensorboard.py:73-74`."""
         return _sample_from_conditional(self, ND_X, key, full_cov)
 
-    def KL(self) -> jax.Array:
+    def KL(self, cache: LayerCache | None = None) -> jax.Array:
         """KL[q(u) || p(u)].  Non-white prior Kuu is built from the *frozen*
-        Z snapshot (gradients flow through kernel hyperparameters but not Z
+        Z snapshot — NOT the current Z of ``cache`` — so the cache cannot be
+        reused here (gradients flow through kernel hyperparameters but not Z
         — reference `conv_gp/layers.py:149-152`, SURVEY.md §2)."""
+        del cache
         if self.white:
             return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
         Kp = self.conv_kernel.Kuu(jax.lax.stop_gradient(self.Z0))
@@ -294,10 +296,13 @@ class SVGPLayer:
         """See ConvLayer.sample_from_conditional."""
         return _sample_from_conditional(self, ND_X, key, full_cov)
 
-    def KL(self) -> jax.Array:
+    def KL(self, cache: LayerCache | None = None) -> jax.Array:
         """Unlike ConvLayer, the prior Kuu here uses the *current* Z (the
         external SVGP_Layer builds its prior Cholesky inside the graph, so Z
-        receives KL gradients)."""
+        receives KL gradients).  ``cache`` reuses the per-step Cholesky of
+        Kuu(Z) — the same matrix — instead of refactorizing."""
         if self.white:
             return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
+        if cache is not None:
+            return linalg.gauss_kl(self.q_mu, self.q_sqrt, Lp=cache.Lm)
         return linalg.gauss_kl(self.q_mu, self.q_sqrt, self._Kuu(self.Z))

@@ -67,7 +67,8 @@ def solve_triangular_mrhs(L: jax.Array, B: jax.Array, *, lower: bool = True,
 
 
 def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
-             K: jax.Array | None = None) -> jax.Array:
+             K: jax.Array | None = None, *,
+             Lp: jax.Array | None = None) -> jax.Array:
     """KL[q(u) || p(u)] summed over independent GPs.
 
     Matches gpflow 1.x ``gauss_kl`` as used at `conv_gp/layers.py:137-147`:
@@ -76,7 +77,8 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
     * ``q_sqrt``: [R, M, M]; only the lower triangle is used (the reference
       stores it under a LowerTriangular transform, `conv_gp/layers.py:85-91`).
     * ``K``: shared [M, M] prior covariance, or None for a whitened
-      (identity) prior.
+      (identity) prior.  ``Lp`` optionally supplies its precomputed
+      Cholesky (layers reuse the per-step cache instead of refactorizing).
 
     KL = 0.5 * sum_r [ tr(K^-1 S_r) + m_r^T K^-1 m_r - M
                        - logdet(S_r) + logdet(K) ].
@@ -84,12 +86,13 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
     M, R = q_mu.shape
     Lq = jnp.tril(q_sqrt)  # [R, M, M]
 
-    if K is None:
+    if K is None and Lp is None:
         alpha = q_mu  # K^-1 m = m
         trace = jnp.sum(jnp.square(Lq))
         logdet_prior = jnp.zeros((), dtype=q_mu.dtype)
     else:
-        Lp = cholesky(K)  # [M, M]
+        if Lp is None:
+            Lp = cholesky(K)  # [M, M]
         alpha = solve_triangular_mrhs(Lp, q_mu, lower=True)  # Lp^-1 m, [M, R]
         # tr(K^-1 S_r) = || Lp^-1 Lq_r ||_F^2
         LpiLq = solve_triangular_mrhs(Lp, Lq, lower=True)  # [R, M, M]
