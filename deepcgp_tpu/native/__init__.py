@@ -97,9 +97,9 @@ def fit_scaler(X: np.ndarray):
 def standardize(X: np.ndarray, mean: np.ndarray, std: np.ndarray,
                 dtype=np.float32) -> np.ndarray:
     h = lib()
-    Xf = np.ascontiguousarray(X, dtype=np.float32)
     if h is None or dtype != np.float32:
         return ((X - mean) / std).astype(dtype)
+    Xf = np.ascontiguousarray(X, dtype=np.float32)
     n, d = Xf.shape
     out = np.empty((n, d), np.float32)
     h.dcgp_standardize_f32(

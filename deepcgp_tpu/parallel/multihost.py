@@ -20,12 +20,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(**kw) -> None:
-    """``jax.distributed.initialize`` with env-based defaults; no-op when
-    already initialised or single-process."""
+    """``jax.distributed.initialize`` with env-based defaults; idempotent.
+
+    Only the already-initialised error is swallowed — a genuine setup
+    failure (bad/unreachable coordinator) must propagate, otherwise every
+    host silently trains its own single-process model on a data shard."""
     try:
         jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError):
-        pass  # already initialised, or single-process launch
+    except RuntimeError as e:
+        if 'already initialized' not in str(e).lower():
+            raise
 
 
 def process_shard(array: np.ndarray, *, axis: int = 0) -> np.ndarray:

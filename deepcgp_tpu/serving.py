@@ -21,29 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _parse_toml_min(path: str) -> dict:
-    """Minimal reader for the options.toml files Log.write_flags emits."""
-    out = {}
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith('#') or '=' not in line:
-                continue
-            key, _, value = line.partition('=')
-            value = value.strip()
-            if value.startswith('"'):
-                out[key.strip()] = value.strip('"')
-            elif value in ('true', 'false'):
-                out[key.strip()] = value == 'true'
-            else:
-                try:
-                    out[key.strip()] = int(value)
-                except ValueError:
-                    try:
-                        out[key.strip()] = float(value)
-                    except ValueError:
-                        out[key.strip()] = value
-    return out
+def _load_options_toml(path: str) -> dict:
+    with open(path, 'rb') as f:
+        import tomllib
+        return tomllib.load(f)
 
 
 class Predictor:
@@ -73,7 +54,7 @@ class Predictor:
         init statistics are used — loaded params override everything)."""
         from deepcgp_tpu.models.builder import build_model
         from deepcgp_tpu.utils import checkpoint as ckpt
-        opts = _parse_toml_min(os.path.join(run_dir, 'options.toml'))
+        opts = _load_options_toml(os.path.join(run_dir, 'options.toml'))
         name = opts['name']
         snap = os.path.join(os.path.dirname(run_dir.rstrip('/')),
                             name + '.npy')
@@ -111,10 +92,29 @@ class Predictor:
         return self.predict_proba(X).argmax(axis=1)
 
     def log_density(self, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
-        """Per-point predictive log p(y | x), [N]."""
+        """Per-point predictive log p(y | x), [N] — padded/batched like
+        predict_proba so arbitrary request sizes reuse one compiled shape."""
         X = np.asarray(X)
+        Y = np.asarray(Y).reshape(-1, 1)
         N = X.shape[0]
-        flat = jnp.asarray(X.reshape(N, -1))
-        dens = self.model.predict_density(flat, jnp.asarray(Y), self._key(),
-                                          S=self.num_samples)
-        return np.asarray(dens)[:, 0]
+        if Y.shape[0] != N:
+            raise ValueError(f"X has {N} rows but Y has {Y.shape[0]} labels")
+        flat = X.reshape(N, -1)
+        if not hasattr(self, '_dens_fn'):
+            S = self.num_samples
+            self._dens_fn = jax.jit(
+                lambda m, xb, yb, key: m.predict_density(xb, yb, key, S))
+        out = np.empty((N,), np.float32)
+        B = self.batch_size
+        for start in range(0, N, B):
+            xb = flat[start:start + B]
+            yb = Y[start:start + B]
+            n = xb.shape[0]
+            if n < B:
+                xb = np.concatenate(
+                    [xb, np.zeros((B - n, xb.shape[1]), xb.dtype)])
+                yb = np.concatenate([yb, np.zeros((B - n, 1), yb.dtype)])
+            dens = self._dens_fn(self.model, jnp.asarray(xb),
+                                 jnp.asarray(yb), self._key())
+            out[start:start + n] = np.asarray(dens)[:n, 0]
+        return out

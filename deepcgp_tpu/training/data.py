@@ -82,9 +82,10 @@ def load_dataset(name: str):
 
 
 class StandardScaler:
-    """Per-feature standardisation (sklearn-compatible subset).  Fit/apply
-    run in the native C++ data pipeline when built
-    (deepcgp_tpu/native/dataio.cpp), numpy otherwise."""
+    """Per-feature standardisation (sklearn-compatible subset).  The fit
+    statistics come from the native C++ data pipeline when built
+    (deepcgp_tpu/native/dataio.cpp); the transform stays f64 numpy for
+    bit-parity with the reference's f64 preprocessing."""
 
     def fit_transform(self, X):
         from deepcgp_tpu import native

@@ -49,8 +49,11 @@ class Experiment:
         self._save_model_parameters()
 
     def run(self):
+        # A resumed run (--full-state-ckpt or --load-model) executes only
+        # the REMAINDER of the flags' schedule, not the full count again.
+        done = int(self.state.step) // self.flags.test_every
         try:
-            for _ in range(train_steps(self.flags)):
+            for _ in range(max(0, train_steps(self.flags) - done)):
                 self.train_step()
         finally:
             self.conclude()

@@ -15,6 +15,7 @@ loader's substring matching (`conv_gp/models.py:214-228`) applies unchanged.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 
@@ -117,19 +118,30 @@ def save_train_state(directory: str, state, *, keep: int = 3) -> None:
         ckptr.save(os.path.join(directory, f'state_{step}'), state,
                    force=True)
     # Prune old snapshots (cheapest possible retention policy).
-    snaps = sorted((d for d in os.listdir(directory)
-                    if d.startswith('state_')),
-                   key=lambda d: int(d.split('_')[1]))
+    snaps = sorted(_complete_snapshots(directory), key=_snap_step)
     for old in snaps[:-keep]:
         import shutil
         shutil.rmtree(os.path.join(directory, old), ignore_errors=True)
 
 
+_SNAP_RE = re.compile(r'^state_(\d+)$')
+
+
+def _snap_step(name: str) -> int:
+    return int(_SNAP_RE.match(name).group(1))
+
+
+def _complete_snapshots(directory: str) -> list:
+    """Only fully-written snapshots: orbax saves into
+    'state_<n>.orbax-checkpoint-tmp-*' and renames on completion, so a crash
+    mid-save leaves tmp dirs that must not break resume."""
+    return [d for d in os.listdir(directory) if _SNAP_RE.match(d)]
+
+
 def latest_train_state_step(directory: str) -> int | None:
     if not os.path.isdir(directory):
         return None
-    steps = [int(d.split('_')[1]) for d in os.listdir(directory)
-             if d.startswith('state_')]
+    steps = [_snap_step(d) for d in _complete_snapshots(directory)]
     return max(steps) if steps else None
 
 

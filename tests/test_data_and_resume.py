@@ -118,3 +118,37 @@ def test_predict_density_and_compute_ll():
     dens = model.predict_density(Xd, Yd, key, S=3)
     assert dens.shape == (8, 1)
     assert np.all(np.asarray(dens) <= 0.0 + 1e-6)
+
+
+def test_latest_state_ignores_orbax_tmp_dirs(tmp_path):
+    """A crash mid-save leaves 'state_N.orbax-checkpoint-tmp-*' dirs; resume
+    must skip them instead of raising ValueError."""
+    import os
+    os.makedirs(tmp_path / 'state_5')
+    os.makedirs(tmp_path / 'state_7.orbax-checkpoint-tmp-123456')
+    assert ckpt.latest_train_state_step(str(tmp_path)) == 5
+
+
+def test_resume_runs_remainder_of_schedule(tmp_path):
+    """A resumed run executes only the remaining chunks of the flags'
+    schedule (full-state resume restores the step)."""
+    from deepcgp_tpu.mnist import MNIST, read_args
+    argv = ['--name', 'rem', '-N', '64', '-M', '4,4',
+            '--feature-maps', '2', '--filter-sizes', '5,5',
+            '--strides', '2,2', '--test-every', '2', '--lr-decay-steps', '4',
+            '--test-size', '32', '--num-samples', '2', '--batch-size', '8',
+            '--log-dir', str(tmp_path), '--no-tensorboard',
+            '--full-state-ckpt']
+    exp = MNIST(read_args(argv))
+    total = train_steps(exp.flags)
+    assert total >= 2
+    try:
+        exp.train_step()  # 1 of `total` chunks
+    finally:
+        exp.conclude()
+
+    exp2 = MNIST(read_args(argv))
+    assert int(exp2.state.step) == 2  # resumed
+    exp2.run()
+    # run() did total-1 more chunks: final step == total * test_every.
+    assert exp2.global_step == total * 2
