@@ -14,6 +14,7 @@ the f64 oracle-parity mode.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax.numpy as jnp
 
@@ -37,4 +38,24 @@ class Settings:
     tri_inverse: bool = False
 
 
-settings = Settings()
+def _apply_env_overrides(s: Settings) -> Settings:
+    """Environment overrides — the rebuild's analog of the reference's
+    ``gpflowrc`` file (float type / jitter / threads, `gpflowrc:6-25`):
+
+    DEEPCGP_JITTER=<float>    absolute Kuu jitter (default 1e-3)
+    DEEPCGP_FLOAT64=1         default parameter/compute dtype f64
+    DEEPCGP_USE_PALLAS=1      fused Pallas RBF Kuf path
+    DEEPCGP_TRI_INVERSE=1     inverse-based conditional (f64 mode only)
+    """
+    if os.environ.get('DEEPCGP_JITTER'):
+        s.jitter = float(os.environ['DEEPCGP_JITTER'])
+    if os.environ.get('DEEPCGP_FLOAT64'):
+        s.float_type = jnp.float64
+    if os.environ.get('DEEPCGP_USE_PALLAS'):
+        s.use_pallas = True
+    if os.environ.get('DEEPCGP_TRI_INVERSE'):
+        s.tri_inverse = True
+    return s
+
+
+settings = _apply_env_overrides(Settings())

@@ -118,10 +118,16 @@ class AdditivePatchKernel:
         PN = self.base_kernel.Kdiag(P1)                          # [P, N]
         return jnp.mean(PN * self.patch_weights[:, None], axis=0)
 
+    def Kzx_NM(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
+        """[N, M] = mean_p w_p k(x[p], Z) — M-minor orientation (matches the
+        conditional's pnm layout; avoids retiling the [M, N*P] base-kernel
+        matrix, which profiled as the dominant copy at M=1024)."""
+        NPM = self.base_kernel.K(self._patches(ND_X), Z[None])  # [N, P, M]
+        w = self.patch_weights / self.patch_weights.shape[0]
+        return jnp.einsum('npm,p->nm', NPM, w)
+
     def Kzx(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
-        P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)            # [P, N, L]
-        PMN = jnp.swapaxes(self.base_kernel.K(P1, Z[None]), -1, -2)  # [P,M,N]
-        return jnp.mean(PMN * self.patch_weights[:, None, None], axis=0)
+        return self.Kzx_NM(Z, ND_X).T
 
     def Kzz(self, Z: jax.Array) -> jax.Array:
         return self.base_kernel.K(Z)
@@ -153,11 +159,6 @@ class ConvKernel(AdditivePatchKernel):
         W = w[:, None] * w[None, :]
         return jnp.sum(NPP * W, axis=(1, 2)) / (pc ** 2)
 
-    def Kzx(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
-        pc = self.view.patch_count
-        L = self.view.patch_length
-        patches = self._patches(ND_X).reshape(-1, L)             # [N*P, L]
-        Kzx = self.base_kernel.K(Z, patches)                     # [M, N*P]
-        Kzx = Kzx.reshape(Z.shape[0], ND_X.shape[0], pc)
-        Kzx = jnp.sum(Kzx * self.patch_weights, axis=2)
-        return Kzx / pc
+    # Kzx (= sum_p w_p k(z, x[p]) / P, `conv_gp/kernels.py:117-133`) is the
+    # same contraction as AdditivePatchKernel's and is inherited from it in
+    # the M-minor orientation.

@@ -232,10 +232,14 @@ class SVGPLayer:
             return linalg.add_jitter(self.kernel.Kzz(Z), settings.jitter)
         return linalg.add_jitter(self.kernel.K(Z), settings.jitter)
 
+    def _Kuf_NM(self, ND_X) -> jax.Array:
+        """[N, M] cross-covariance (M-minor, the conditional's layout)."""
+        if hasattr(self.kernel, 'Kzx_NM'):
+            return self.kernel.Kzx_NM(self.Z, ND_X)
+        return self.kernel.K(ND_X, self.Z)
+
     def _Kuf(self, ND_X) -> jax.Array:
-        if hasattr(self.kernel, 'Kzx'):
-            return self.kernel.Kzx(self.Z, ND_X)
-        return self.kernel.K(self.Z, ND_X)
+        return self._Kuf_NM(ND_X).T
 
     @classmethod
     def create(cls, kernel, Z, *, num_outputs=10, mean_function=None,
@@ -275,7 +279,7 @@ class SVGPLayer:
     def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
                              full_cov: bool = False):
         N = ND_X.shape[0]
-        Kuf = jnp.swapaxes(self._Kuf(ND_X), -1, -2)[None]  # [1, N, M]
+        Kuf = self._Kuf_NM(ND_X)[None]                   # [1, N, M]
         if full_cov:
             Knn = self.kernel.K(ND_X)[None]              # [1, N, N]
         else:
