@@ -78,17 +78,33 @@ class MultiClass:
             (1.0 - p) * math.log(self._eps_k1)
         return ve
 
+    def _prob_each_is_largest(self, mu: jax.Array, var: jax.Array):
+        """P(f_c >= f_j forall j) for EVERY class at once: [..., K].
+
+        One quadrature batched over the class axis instead of K separate
+        passes (the serving hot path)."""
+        dtype = mu.dtype
+        gh_x, gh_w = _gh_points(self.num_gauss_hermite, dtype)
+        K = self.num_classes
+        # Grid centred on each candidate class c: [..., K_c, H].
+        X = mu[..., :, None] + gh_x * jnp.sqrt(
+            jnp.clip(2.0 * var[..., :, None], 1e-10))
+        # CDF of latent j at candidate c's grid: [..., K_c, K_j, H].
+        dist = (X[..., :, None, :] - mu[..., None, :, None]) / jnp.sqrt(
+            jnp.clip(var[..., None, :, None], 1e-10))
+        cdfs = 0.5 * (1.0 + jax.lax.erf(dist / math.sqrt(2.0)))
+        cdfs = cdfs * (1.0 - 2e-4) + 1e-4                        # gpflow clip
+        # Blank each candidate's own CDF (j == c) to 1.
+        eye = jnp.eye(K, dtype=dtype)[..., :, :, None]
+        cdfs = cdfs * (1.0 - eye) + eye
+        prod = jnp.prod(cdfs, axis=-2)                           # [..., K, H]
+        return jnp.sum(prod * gh_w, axis=-1) / math.sqrt(math.pi)
+
     def predict_mean_and_var(self, Fmu: jax.Array, Fvar: jax.Array):
         """Class probabilities (and Bernoulli variances) under q(f):
         p(y=c) = P(f_c largest)(1 - eps) + (1 - P(f_c largest)) eps/(K-1)."""
-        K = self.num_classes
-        shape = Fmu.shape[:-1]
-        ps = []
-        for c in range(K):
-            Yc = jnp.full(shape + (1,), c, dtype=jnp.int32)
-            p = self.prob_is_largest(Yc, Fmu, Fvar)[..., 0]
-            ps.append(p * (1.0 - self.epsilon) + (1.0 - p) * self._eps_k1)
-        mean = jnp.stack(ps, axis=-1)
+        p = self._prob_each_is_largest(Fmu, Fvar)                # [..., K]
+        mean = p * (1.0 - self.epsilon) + (1.0 - p) * self._eps_k1
         return mean, mean - jnp.square(mean)
 
     def predict_density(self, Fmu: jax.Array, Fvar: jax.Array,

@@ -361,3 +361,18 @@ def test_sample_from_conditional_moments():
     np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=0.15)
     np.testing.assert_allclose(emp_var, np.asarray(var) + 1e-3, rtol=0.25,
                                atol=0.05)
+
+
+def test_prob_each_is_largest_matches_per_class_loop():
+    """The batched all-classes quadrature must equal K per-class passes."""
+    from deepcgp_tpu.models.likelihoods import MultiClass
+    rng = np.random.RandomState(3)
+    lik = MultiClass(10)
+    mu = jnp.asarray(rng.randn(7, 10))
+    var = jnp.asarray(rng.rand(7, 10) + 0.1)
+    batched = np.asarray(lik._prob_each_is_largest(mu, var))
+    for c in range(10):
+        Yc = jnp.full((7, 1), c, dtype=jnp.int32)
+        per_class = np.asarray(lik.prob_is_largest(Yc, mu, var))[:, 0]
+        np.testing.assert_allclose(batched[:, c], per_class, rtol=1e-10)
+    np.testing.assert_allclose(batched.sum(axis=1), 1.0, atol=5e-3)
