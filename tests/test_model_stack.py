@@ -376,3 +376,48 @@ def test_prob_each_is_largest_matches_per_class_loop():
         per_class = np.asarray(lik.prob_is_largest(Yc, mu, var))[:, 0]
         np.testing.assert_allclose(batched[:, c], per_class, rtol=1e-10)
     np.testing.assert_allclose(batched.sum(axis=1), 1.0, atol=5e-3)
+
+
+def test_conv_layer_with_random_partial_view_and_patchwise_mean():
+    """RandomPartialView + PatchwiseConv2d, the reference's patch-subset
+    configuration (`conv_gp/views.py:70-117`, `mean_functions.py:43-59`):
+    conditional shapes, finite ELBO, and gradients flow."""
+    import jax
+    from deepcgp_tpu.models.base_kernels import RBF
+    from deepcgp_tpu.models.views import RandomPartialView
+    from deepcgp_tpu.models.mean_functions import PatchwiseConv2d
+    from deepcgp_tpu.models.layers import ConvLayer, SVGPLayer
+    from deepcgp_tpu.models.dgp import DGP
+    from deepcgp_tpu.models.likelihoods import MultiClass
+    from deepcgp_tpu.models.conv_kernels import ConvKernel
+    from deepcgp_tpu.models.views import FullView
+    from deepcgp_tpu.models.mean_functions import Zero
+
+    rng = np.random.RandomState(0)
+    view = RandomPartialView(input_size=(10, 10), filter_size=3,
+                             feature_maps=1, patch_count=16, seed=1)
+    assert len(view.patch_indices) == 16
+    Z = rng.randn(6, 9)
+    layer = ConvLayer.create(
+        RBF.create(dtype=jnp.float64), view, Z,
+        mean_function=PatchwiseConv2d.create(3, 1, dtype=jnp.float64),
+        gp_count=1, dtype=jnp.float64)
+    X = jnp.asarray(rng.randn(4, 100))
+    mean, var = layer.conditional_mean_var(layer.precompute(), X)
+    assert mean.shape == (4, 16) and var.shape == (4, 16)
+
+    last_view = FullView(input_size=(4, 4), filter_size=3, feature_maps=1,
+                         stride=1)
+    last = SVGPLayer.create(
+        ConvKernel.create(RBF.create(dtype=jnp.float64), last_view,
+                          dtype=jnp.float64),
+        rng.randn(5, 9), num_outputs=10, mean_function=Zero(output_dim=10),
+        dtype=jnp.float64)
+    model = DGP(layers=(layer, last), likelihood=MultiClass(10),
+                num_data=4, num_samples=2)
+    Y = jnp.asarray(rng.randint(0, 10, size=(4, 1)))
+    val, grads = jax.value_and_grad(
+        lambda m: m.elbo(X, Y, jax.random.PRNGKey(0)))(model)
+    assert np.isfinite(float(val))
+    gz = np.asarray(grads.layers[0].q_mu)
+    assert np.isfinite(gz).all() and np.abs(gz).sum() > 0
