@@ -1,0 +1,96 @@
+"""Coverage extras: scanned eval equivalence, k-means quality, TensorBoard
+patch-covariance task, full-cov sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcgp_tpu.models.builder import BuilderFlags, build_model
+from deepcgp_tpu.ops.kmeans import kmeans
+from deepcgp_tpu.training import trainer
+
+
+def _tiny():
+    rng = np.random.RandomState(0)
+    X = rng.randn(48, 8, 8, 1).astype(np.float32)
+    Y = rng.randint(0, 10, size=(48, 1))
+    flags = BuilderFlags(M='6,6', feature_maps='2', filter_sizes='3,3',
+                         strides='2,1', num_samples=2, batch_size=8)
+    return build_model(flags, X, Y, jax.random.PRNGKey(0),
+                       dtype=jnp.float32), X, Y
+
+
+def test_scanned_eval_matches_per_batch_eval():
+    model, X, Y = _tiny()
+    flat = jnp.asarray(X.reshape(48, -1))
+    key = jax.random.PRNGKey(5)
+    scanned = np.asarray(trainer.predict_probs_scanned(
+        model, flat, key, batch_size=16, num_samples=2))
+    # Same batches, same key-splitting order, one dispatch per batch.
+    probs = []
+    k = key
+    for start in range(0, 48, 16):
+        k, sub = jax.random.split(k)
+        probs.append(np.asarray(trainer.predict_probs(
+            model, flat[start:start + 16], sub, 2)))
+    np.testing.assert_allclose(scanned, np.concatenate(probs), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_kmeans_recovers_separated_clusters():
+    rng = np.random.RandomState(0)
+    true_centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.concatenate([true_centers[i] + 0.1 * rng.randn(100, 2)
+                        for i in range(3)])
+    # k-means++ init (the last-layer inducing path); plain random init can
+    # land in the two-seeds-in-one-cluster local optimum on purpose-built
+    # data like this.
+    out = np.asarray(kmeans(jax.random.PRNGKey(0), jnp.asarray(X), 3,
+                            iters=20, init='k-means++'))
+    # Each recovered center is within noise of one true center.
+    d = np.linalg.norm(out[:, None, :] - true_centers[None], axis=-1)
+    assert (d.min(axis=1) < 0.1).all()
+    assert sorted(d.argmin(axis=1).tolist()) == [0, 1, 2]
+
+
+def test_patch_covariance_logger_writes_image(tmp_path):
+    from deepcgp_tpu.mnist import MNIST, read_args
+    from deepcgp_tpu.utils.tensorboard import (PatchCovarianceLogger,
+                                               TensorBoardLog)
+    args = read_args([
+        '--name', 'covlog', '-N', '48', '-M', '4,4',
+        '--feature-maps', '2', '--filter-sizes', '5,5', '--strides', '2,2',
+        '--test-every', '1', '--lr-decay-steps', '2', '--test-size', '16',
+        '--num-samples', '2', '--batch-size', '8',
+        '--log-dir', str(tmp_path), '--no-tensorboard'])
+    exp = MNIST(args)
+    try:
+        tb = TensorBoardLog([PatchCovarianceLogger()], str(tmp_path / 'tb'),
+                            'covlog')
+        tb.write_entry(exp)
+        tb.close()
+    finally:
+        exp.conclude()
+    import os
+    files = os.listdir(tmp_path / 'tb' / 'covlog')
+    assert any(f.startswith('events') for f in files)
+
+
+def test_sample_from_conditional_full_cov():
+    model, X, _ = _tiny()
+    layer = model.layers[1]  # SVGP last layer; input = hidden layer output
+    rng = np.random.RandomState(1)
+    flat = jnp.asarray(
+        rng.randn(5, model.layers[0].num_outputs).astype(np.float32))
+    sample, mean, var = layer.sample_from_conditional(
+        flat, jax.random.PRNGKey(0), full_cov=True)
+    assert mean.shape == (5, 10)
+    assert var.shape == (5, 5, 10)
+    assert sample.shape == (5, 10)
+    assert np.isfinite(np.asarray(sample)).all()
+    # Diagonal of the full covariance matches the diag-mode variance.
+    _, _, var_diag = layer.sample_from_conditional(flat,
+                                                   jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(var)[np.arange(5), np.arange(5)], np.asarray(var_diag),
+        rtol=1e-4, atol=1e-6)
