@@ -1,4 +1,4 @@
-.PHONY: test bench dryrun native lint
+.PHONY: test bench dryrun native
 
 test:
 	python -m pytest tests/ -q

@@ -38,22 +38,29 @@ class Settings:
     tri_inverse: bool = False
 
 
+def _env_flag(name: str) -> bool:
+    return os.environ.get(name, '').strip().lower() in ('1', 'true', 'yes',
+                                                        'on')
+
+
 def _apply_env_overrides(s: Settings) -> Settings:
     """Environment overrides — the rebuild's analog of the reference's
     ``gpflowrc`` file (float type / jitter / threads, `gpflowrc:6-25`):
 
     DEEPCGP_JITTER=<float>    absolute Kuu jitter (default 1e-3)
-    DEEPCGP_FLOAT64=1         default parameter/compute dtype f64
+    DEEPCGP_FLOAT64=1         default dtype f64 (also enables jax x64 mode)
     DEEPCGP_USE_PALLAS=1      fused Pallas RBF Kuf path
     DEEPCGP_TRI_INVERSE=1     inverse-based conditional (f64 mode only)
     """
     if os.environ.get('DEEPCGP_JITTER'):
         s.jitter = float(os.environ['DEEPCGP_JITTER'])
-    if os.environ.get('DEEPCGP_FLOAT64'):
+    if _env_flag('DEEPCGP_FLOAT64'):
+        import jax
+        jax.config.update('jax_enable_x64', True)
         s.float_type = jnp.float64
-    if os.environ.get('DEEPCGP_USE_PALLAS'):
+    if _env_flag('DEEPCGP_USE_PALLAS'):
         s.use_pallas = True
-    if os.environ.get('DEEPCGP_TRI_INVERSE'):
+    if _env_flag('DEEPCGP_TRI_INVERSE'):
         s.tri_inverse = True
     return s
 

@@ -233,13 +233,12 @@ class SVGPLayer:
         return linalg.add_jitter(self.kernel.K(Z), settings.jitter)
 
     def _Kuf_NM(self, ND_X) -> jax.Array:
-        """[N, M] cross-covariance (M-minor, the conditional's layout)."""
+        """[N, M] cross-covariance (M-minor, the conditional's layout —
+        do NOT reintroduce an [M, N]-major variant; retiling that matrix
+        was the dominant copy at M=1024)."""
         if hasattr(self.kernel, 'Kzx_NM'):
             return self.kernel.Kzx_NM(self.Z, ND_X)
         return self.kernel.K(ND_X, self.Z)
-
-    def _Kuf(self, ND_X) -> jax.Array:
-        return self._Kuf_NM(ND_X).T
 
     @classmethod
     def create(cls, kernel, Z, *, num_outputs=10, mean_function=None,
