@@ -55,6 +55,23 @@ def dryrun_multichip(n_devices: int, *, model_axis: int | None = None,
     from deepcgp_tpu.models.builder import BuilderFlags, build_model
     from deepcgp_tpu.training.trainer import TrainConfig
 
+    # The dry run is defined over N *virtual CPU* devices.  XLA_FLAGS'
+    # --xla_force_host_platform_device_count can be clobbered by this
+    # platform's sitecustomize, so request the device count through jax
+    # config as well (harmless no-op when a backend already exists with
+    # enough devices, e.g. under the test conftest).
+    if len(getattr(jax._src.xla_bridge, '_backends', {}) or {}) == 0:
+        for key, val in (('jax_platforms', 'cpu'),
+                         ('jax_num_cpu_devices', int(n_devices))):
+            try:
+                jax.config.update(key, val)
+            except Exception:
+                pass
+    assert len(jax.devices()) >= n_devices, (
+        f"dryrun_multichip needs {n_devices} devices, found "
+        f"{len(jax.devices())} — run with JAX_PLATFORMS=cpu before any "
+        "other jax use")
+
     if model_axis is None:
         model_axis = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
     n_data = n_devices // model_axis
