@@ -130,7 +130,10 @@ class ArcCosine:
             numerator = self._weighted_product(X, X2)
             denom_X2 = jnp.sqrt(self._weighted_product(X2))
         cos_theta = numerator / denom_X[..., :, None] / denom_X2[..., None, :]
-        eps = 1e-15  # same guard as gpflow against acos(|x|>1)
+        # Guard against acos(|x|>=1): gpflow uses 1e-15, which is an f64
+        # guard — it rounds away in f32, leaving arccos'(1.0) = inf on the
+        # diagonal and NaN gradients.  Scale the squeeze to the dtype.
+        eps = 1e-15 if cos_theta.dtype == jnp.float64 else 1e-6
         theta = jnp.arccos(jnp.clip(eps + (1.0 - 2.0 * eps) * cos_theta,
                                     -1.0, 1.0))
         scale = (denom_X[..., :, None] ** self.order

@@ -119,3 +119,31 @@ def test_regression_dgp_learns_step_function():
     mean, _ = state.model.predict_y(Xd, jax.random.PRNGKey(2), 10)
     rmse = float(jnp.sqrt(jnp.mean((jnp.mean(mean, 0) - Yd) ** 2)))
     assert rmse < 0.3, rmse
+
+
+import pytest
+
+
+@pytest.mark.parametrize('variant', ['white', 'acos'])
+def test_training_variants_white_and_arccosine(variant):
+    """Whitened layers and the ArcCosine base kernel must TRAIN (previous
+    coverage only constructed them): finite improving ELBO over a chunk."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(48, 8, 8, 1).astype(np.float32)
+    Y = rng.randint(0, 10, size=(48, 1))
+    flags = BuilderFlags(M='6,6', feature_maps='2', filter_sizes='3,3',
+                         strides='2,1', num_samples=2, batch_size=8,
+                         white=(variant == 'white'),
+                         base_kernel='acos' if variant == 'acos' else 'rbf')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    from deepcgp_tpu.training.trainer import TrainConfig
+    config = TrainConfig(optimizer='Adam', lr=0.02, lr_decay_steps=1000,
+                         gamma=0.001, batch_size=8)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    Xd = jnp.asarray(X.reshape(48, -1))
+    Yd = jnp.asarray(Y)
+    state, elbos = trainer.run_chunk(state, config, Xd, Yd, 150)
+    e = np.asarray(elbos)
+    assert np.isfinite(e).all()
+    assert e[-10:].mean() > e[:10].mean()
