@@ -152,3 +152,42 @@ def test_resume_runs_remainder_of_schedule(tmp_path):
     exp2.run()
     # run() did total-1 more chunks: final step == total * test_every.
     assert exp2.global_step == total * 2
+
+
+def test_reference_options_toml_maps_onto_our_flags():
+    """The reference's committed run config (verbatim content of
+    `notebooks/data/cifar_fm10/options.toml`) must parse and map 1:1 onto
+    this CLI's flag namespace — a user's old run configs stay valid."""
+    import io
+    import tomllib
+    REFERENCE_OPTIONS = b'''
+name = "cifar_fm10"
+lr_decay_steps = 100000
+test_every = 25000
+test_size = 10000
+num_samples = 10
+log_dir = "/scratch/work/blomqvk1/results/"
+lr = 0.01
+batch_size = 32
+optimizer = "Adam"
+M = "384,384"
+feature_maps = "10"
+filter_sizes = "5,5"
+strides = "3,1"
+base_kernel = "rbf"
+white = false
+last_kernel = "conv"
+gamma = 0.001
+identity_mean = false
+tensorboard_dir = "/scratch/work/blomqvk1/results/tensorboard"
+N = 50000
+'''
+    opts = tomllib.load(io.BytesIO(REFERENCE_OPTIONS))
+    parser_dests = {a.dest for a in default_parser()._actions}
+    parser_dests |= {'tensorboard_dir', 'N', 'fashion'}  # per-dataset extras
+    unmapped = set(opts) - parser_dests
+    assert not unmapped, f"reference flags with no home: {unmapped}"
+    # And the values drive the builder's geometry parsing unchanged.
+    from deepcgp_tpu.models.builder import parse_ints
+    assert parse_ints(opts['M']) == [384, 384]
+    assert parse_ints(opts['strides']) == [3, 1]
