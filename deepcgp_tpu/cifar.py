@@ -19,6 +19,10 @@ def read_args(argv=None):
                         default='/tmp/cifar10/tensorboard')
     parser.add_argument('-N', type=int, default=50000,
                         help="Use N training examples.")
+    # The reference CIFAR entry evaluates on the ENTIRE test set (moved
+    # train tail + real test, `conv_gp/cifar.py:19-22`); test_size is an
+    # opt-in subsample here, so default it off for parity.
+    parser.set_defaults(test_size=None)
     return parser.parse_args(argv)
 
 

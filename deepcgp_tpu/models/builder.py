@@ -124,7 +124,9 @@ def build_model(flags, NHWC_X_train: np.ndarray, Y_train: np.ndarray,
                               strides[-1], last_params, dtype))
     _trace("last layer done")
 
-    return DGP(layers=tuple(layers), likelihood=MultiClass(10),
+    return DGP(layers=tuple(layers),
+               likelihood=MultiClass(
+                   10, num_gauss_hermite=settings.num_gauss_hermite_points),
                num_data=NHWC_X_train.shape[0],
                num_samples=flags.num_samples)
 
@@ -201,7 +203,6 @@ def _last_layer(flags, key, H_X, M, filter_size, stride, layer_params, dtype):
             Z = np.asarray(inducing_points_from_data(
                 key, jnp.asarray(flat, dtype=dtype), M))
     else:
-        input_dim = filter_size ** 2 * NHWC[3]
         view = FullView(input_size=(NHWC[1], NHWC[2]),
                         filter_size=filter_size, feature_maps=NHWC[3],
                         stride=stride)
@@ -209,7 +210,6 @@ def _last_layer(flags, key, H_X, M, filter_size, stride, layer_params, dtype):
             variance=layer_params.get('base_kernel/variance', 5.0),
             lengthscales=layer_params.get('base_kernel/lengthscales', 5.0),
             dtype=dtype)
-        del input_dim
         if Z is None:
             _trace("  last-layer patch k-means ...")
             Z = np.asarray(patch_inducing_points(

@@ -91,6 +91,13 @@ class RandomPartialView:
             rng = np.random.RandomState(self.seed)
             H, W = self.input_size
             f = self.filter_size
+            available = max(0, H - f) * max(0, W - f)
+            if self.patch_count > available:
+                raise ValueError(
+                    f"patch_count={self.patch_count} exceeds the "
+                    f"{available} distinct sampleable positions of a "
+                    f"{H}x{W} image with filter {f} (the sampler draws "
+                    "starts from [0, size - filter))")
             # Reference samples starts from arange(0, size - filter) —
             # excluding start == size - filter (`conv_gp/views.py:86-87`).
             taken = set()

@@ -18,11 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-
-def _pairwise_sq(X, C):
-    # [N, K]; norms fused around one matmul.
-    return (jnp.sum(X * X, 1)[:, None] - 2.0 * X @ C.T
-            + jnp.sum(C * C, 1)[None, :])
+from deepcgp_tpu.ops.distances import square_distance as _pairwise_sq
 
 
 def _plusplus_init(key, X, k):

@@ -135,7 +135,14 @@ def cifar_data(flags, dtype=np.float32):
     std = x_train.std(axis=(0, 1, 2))
     x_train /= std
     x_test /= std
+    # The reference CIFAR entry never truncates the eval set (its test set
+    # is [moved train tail + the full real test set], `conv_gp/cifar.py:19-22`).
+    # An explicit --test-size is honored as a convenience, but taking the
+    # FIRST rows would select only held-out training images, so subsample
+    # uniformly instead.
     if getattr(flags, 'test_size', None):
-        x_test = x_test[:flags.test_size]
-        y_test = y_test[:flags.test_size]
+        rng = np.random.RandomState(getattr(flags, 'seed', 0))
+        chosen = rng.choice(len(x_test), min(flags.test_size, len(x_test)),
+                            replace=False)
+        x_test, y_test = x_test[chosen], y_test[chosen]
     return (x_train.astype(dtype), y_train, x_test.astype(dtype), y_test)

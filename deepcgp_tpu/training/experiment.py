@@ -12,14 +12,12 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from deepcgp_tpu.models.builder import build_model
 from deepcgp_tpu.training import trainer
 from deepcgp_tpu.training.arguments import train_steps
 from deepcgp_tpu.training.trainer import TrainConfig
 from deepcgp_tpu.utils import checkpoint as ckpt
-from deepcgp_tpu.utils import log as log_utils
 from deepcgp_tpu.utils.log import (AccuracyLogger, GlobalStepLogger,
                                    LearningRateLogger, Log, TrainELBOLogger)
 

@@ -89,11 +89,29 @@ def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
 
     if config.optimizer == 'SGD':
         updates = grads
+        new_opt_state = state.opt_state
     else:
-        updates, opt_state = _adam_core().update(grads, state.opt_state)
-        state = state.replace(opt_state=opt_state)
+        updates, new_opt_state = _adam_core().update(grads, state.opt_state)
+
+    # Numerical-failure guard (the jit-friendly form of the reference's
+    # cholesky-failure retry, `conv_gp/experiment.py:38-49`): a NaN loss or
+    # NaN updates (failed Cholesky, arccos edge, ...) must not be committed
+    # into parameters or optimizer moments — inside a scanned chunk that
+    # would silently destroy the whole remaining run.  The step is skipped
+    # (visible as a NaN in the returned ELBO trace) and training continues
+    # from the intact state.
+    ok = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(updates):
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+
+    def commit(new, old):
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+
     new_model = jax.tree_util.tree_map(
         lambda p, u: p - lr.astype(p.dtype) * u, model, updates)
+    new_model = commit(new_model, model)
+    state = state.replace(opt_state=commit(new_opt_state, state.opt_state))
 
     return state.replace(model=new_model, step=state.step + 1,
                          steps_back=steps_back, key=key), -loss
