@@ -67,7 +67,8 @@ def init_state(model, config: TrainConfig, key: jax.Array,
 
 def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
     """One optimizer iteration; returns (new_state, elbo_value)."""
-    model = state.model
+    model0 = state.model
+    model = model0
     lr = optim.learning_rate_schedule(config.lr, config.lr_decay_steps)(
         state.step)
     steps_back = state.steps_back
@@ -94,12 +95,14 @@ def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
         updates, new_opt_state = _adam_core().update(grads, state.opt_state)
 
     # Numerical-failure guard (the jit-friendly form of the reference's
-    # cholesky-failure retry, `conv_gp/experiment.py:38-49`): a NaN loss or
-    # NaN updates (failed Cholesky, arccos edge, ...) must not be committed
-    # into parameters or optimizer moments — inside a scanned chunk that
-    # would silently destroy the whole remaining run.  The step is skipped
-    # (visible as a NaN in the returned ELBO trace) and training continues
-    # from the intact state.
+    # cholesky-failure retry, `conv_gp/experiment.py:38-49`): if the loss or
+    # any update is non-finite (failed Cholesky, NatGrad step too large, ...)
+    # the WHOLE step is rolled back — including a NatGrad proposal that was
+    # finite itself but broke the subsequent ELBO — parameters and optimizer
+    # moments stay intact, and in NatGrad mode ``steps_back`` is bumped so
+    # the gamma schedule retries smaller, exactly like the reference's
+    # catch/step_back_gamma/retry loop.  The failure stays visible as a NaN
+    # in the returned ELBO trace.
     ok = jnp.isfinite(loss)
     for leaf in jax.tree_util.tree_leaves(updates):
         ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
@@ -110,8 +113,10 @@ def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
 
     new_model = jax.tree_util.tree_map(
         lambda p, u: p - lr.astype(p.dtype) * u, model, updates)
-    new_model = commit(new_model, model)
+    new_model = commit(new_model, model0)
     state = state.replace(opt_state=commit(new_opt_state, state.opt_state))
+    if config.optimizer == 'NatGrad':
+        steps_back = jnp.where(ok, steps_back, steps_back + 1.0)
 
     return state.replace(model=new_model, step=state.step + 1,
                          steps_back=steps_back, key=key), -loss

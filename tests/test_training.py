@@ -285,3 +285,37 @@ def test_nan_step_is_skipped_not_committed():
     # And training continues cleanly from the preserved state.
     state3, elbos = trainer.run_chunk(state2, config, Xd, Yd, 3)
     assert np.isfinite(np.asarray(elbos)).all()
+
+
+def test_natgrad_elbo_failure_rolls_back_and_bumps_gamma():
+    """A NatGrad proposal that is finite but breaks the subsequent ELBO must
+    roll back BOTH halves of the step and bump steps_back (reference
+    catch/step_back_gamma/retry semantics)."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(32, 8, 8, 1).astype(np.float32)
+    Y = rng.randint(0, 10, size=(32, 1))
+    flags = BuilderFlags(M='4,4', feature_maps='2', filter_sizes='3,3',
+                         strides='2,1', num_samples=2, batch_size=8)
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    config = TrainConfig(optimizer='NatGrad', lr=0.01, lr_decay_steps=100,
+                         gamma=0.001, batch_size=8)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    Xd = jnp.asarray(X.reshape(32, -1))
+    Yd = jnp.asarray(Y)
+    state, _ = trainer.run_chunk(state, config, Xd, Yd, 1)
+    before = jax.tree_util.tree_map(np.asarray, state.model)
+    sb_before = float(state.steps_back)
+
+    x_bad = Xd[:8].at[0, 0].set(jnp.nan)  # poisons natgrad AND adam halves
+    step = jax.jit(lambda s, x, y: trainer.train_step(s, config, x, y))
+    state2, elbo_bad = step(state, x_bad, Yd[:8])
+    assert not np.isfinite(float(elbo_bad))
+    after = jax.tree_util.tree_map(np.asarray, state2.model)
+    for b, a in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    assert float(state2.steps_back) >= sb_before + 1.0
+    # Recovery: clean batches train on with the reduced gamma.
+    state3, elbos = trainer.run_chunk(state2, config, Xd, Yd, 3)
+    assert np.isfinite(np.asarray(elbos)).all()
