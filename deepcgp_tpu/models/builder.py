@@ -162,7 +162,13 @@ def _conv_layer(flags, key, NHWC_X, M, feature_map, filter_size, stride,
             lengthscales=layer_params.get('base_kernel/lengthscales', 5.0),
             dtype=dtype)
     elif flags.base_kernel == 'acos':
-        base_kernel = ArcCosine.create(order=0, dtype=dtype)
+        base_kernel = ArcCosine.create(
+            order=0,
+            variance=layer_params.get('base_kernel/variance', 1.0),
+            weight_variances=layer_params.get(
+                'base_kernel/weight_variances', 1.0),
+            bias_variance=layer_params.get('base_kernel/bias_variance', 1.0),
+            dtype=dtype)
     else:
         raise ValueError("Not a valid base-kernel value")
 

@@ -112,8 +112,11 @@ def gather_rows(X: np.ndarray, idx: np.ndarray) -> np.ndarray:
     h = lib()
     if h is None or X.dtype != np.float32:
         return X[idx]
-    Xc = np.ascontiguousarray(X.reshape(X.shape[0], -1))
     idx64 = np.ascontiguousarray(idx, np.int64)
+    if idx64.size and (idx64.min() < 0 or idx64.max() >= X.shape[0]):
+        raise IndexError(  # match the numpy fallback instead of OOB reads
+            f"gather_rows indices out of range [0, {X.shape[0]})")
+    Xc = np.ascontiguousarray(X.reshape(X.shape[0], -1))
     out = np.empty((idx64.shape[0], Xc.shape[1]), np.float32)
     h.dcgp_gather_rows_f32(_ptr(Xc), _ptr(idx64), _ptr(out),
                            idx64.shape[0], Xc.shape[1])
@@ -142,6 +145,14 @@ def sample_patches(NHWC: np.ndarray, img: np.ndarray, ys: np.ndarray,
                    xs: np.ndarray, f: int) -> np.ndarray:
     """Gather ``len(img)`` patches at the given (image, y, x) offsets."""
     n, hh, ww, c = NHWC.shape
+    img = np.asarray(img)
+    ys = np.asarray(ys)
+    xs = np.asarray(xs)
+    if len(img) and not (
+            (0 <= img.min() and img.max() < n)
+            and (0 <= ys.min() and ys.max() <= hh - f)
+            and (0 <= xs.min() and xs.max() <= ww - f)):
+        raise IndexError("sample_patches offsets out of range")
     h = lib()
     if h is None or NHWC.dtype != np.float32:
         win = np.lib.stride_tricks.sliding_window_view(NHWC, (f, f),

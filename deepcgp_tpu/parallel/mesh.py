@@ -42,6 +42,8 @@ def make_mesh(spec: str | dict | None = None, devices=None) -> Mesh:
         spec = parse_mesh_spec(spec)
     if not spec:
         spec = {'data': len(devices)}
+    unknown = set(spec) - {'data', 'model'}
+    assert not unknown, f"unknown mesh axes {unknown}; valid: data, model"
     n_data = spec.get('data', 1)
     n_model = spec.get('model', 1)
     assert n_data * n_model <= len(devices), \

@@ -28,7 +28,10 @@ def initialize_distributed(**kw) -> None:
     try:
         jax.distributed.initialize(**kw)
     except RuntimeError as e:
-        if 'already initialized' not in str(e).lower():
+        msg = str(e).lower()
+        # jax 0.9 phrases this 'distributed.initialize should only be
+        # called once.'; older versions said 'already initialized'.
+        if 'only be called once' not in msg and 'already' not in msg:
             raise
 
 

@@ -44,17 +44,23 @@ def _axis_ok(mesh, axis_name, dim_size) -> bool:
 
 
 def constrain(x, *spec):
-    """with_sharding_constraint(x, P(*spec)) under the active mesh; axes
-    whose dimension does not divide the mesh axis are left unconstrained.
-    No-op without an active mesh."""
+    """with_sharding_constraint(x, P(*spec)) under the active mesh.
+    No-op without an active mesh — and also when any REQUESTED axis does
+    not divide its mesh axis: a None in a PartitionSpec is a hard
+    'replicate' pin (not 'unconstrained'), so partially applying the
+    constraint would force e.g. a non-dividing batch dim fully replicated
+    on every chip; leaving GSPMD to infer is strictly better there."""
     mesh = active_mesh()
     if mesh is None:
         return x
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     clean = []
     for dim, name in enumerate(spec):
-        if name is not None and _axis_ok(mesh, name, x.shape[dim]):
+        if name is None or sizes.get(name, 1) == 1:
+            clean.append(None)
+        elif _axis_ok(mesh, name, x.shape[dim]):
             clean.append(name)
         else:
-            clean.append(None)
+            return x  # requested axis doesn't divide: skip entirely
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*clean)))

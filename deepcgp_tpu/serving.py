@@ -31,10 +31,13 @@ class Predictor:
     """Batched, pad-to-shape, jit-cached prediction server."""
 
     def __init__(self, model, *, batch_size: int = 32, num_samples: int = 5,
-                 seed: int = 0):
+                 seed: int = 0, preprocessing: dict | None = None):
         self.model = model
         self.batch_size = batch_size
         self.num_samples = num_samples
+        # {'mean': [D], 'scale': [D]} applied to raw inputs when set
+        # (loaded from the run's preprocessing.npz by from_run_dir).
+        self.preprocessing = preprocessing
         self._base_key = jax.random.PRNGKey(seed)
         self._calls = 0
         S = num_samples
@@ -58,23 +61,43 @@ class Predictor:
         name = opts['name']
         snap = os.path.join(os.path.dirname(run_dir.rstrip('/')),
                             name + '.npy')
-        num_layers = len([m for m in str(opts['M']).split(',') if m])
+        from deepcgp_tpu.models.builder import parse_ints
+        num_layers = len(parse_ints(str(opts['M'])))
         _, loaded = ckpt.load_layer_parameters(snap, num_layers)
         import types
         flags = types.SimpleNamespace(**opts)
         model = build_model(flags, X_init, Y_init, jax.random.PRNGKey(0),
                             loaded_parameters=loaded)
+        prep_path = os.path.join(run_dir, 'preprocessing.npz')
+        if 'preprocessing' not in kw and os.path.exists(prep_path):
+            with np.load(prep_path) as d:
+                kw['preprocessing'] = {'mean': d['mean'], 'scale': d['scale']}
         return cls(model, **kw)
 
     def _key(self) -> jax.Array:
         self._calls += 1
         return jax.random.fold_in(self._base_key, self._calls)
 
-    def predict_proba(self, X: np.ndarray) -> np.ndarray:
-        """[N, D or H, W, C] -> [N, K] mean class probabilities."""
+    def _prepare(self, X: np.ndarray, raw: bool) -> np.ndarray:
+        """Flatten, and standardize raw inputs with the training scaler."""
         X = np.asarray(X)
-        N = X.shape[0]
-        flat = X.reshape(N, -1)
+        flat = X.reshape(X.shape[0], -1)
+        if raw:
+            if self.preprocessing is None:
+                raise ValueError(
+                    "raw=True requires preprocessing statistics (train with "
+                    "the Experiment CLI, which persists preprocessing.npz)")
+            flat = ((flat - self.preprocessing['mean'])
+                    / self.preprocessing['scale']).astype(np.float32)
+        return flat
+
+    def predict_proba(self, X: np.ndarray, raw: bool = False) -> np.ndarray:
+        """[N, D or H, W, C] -> [N, K] mean class probabilities.
+
+        ``raw=True`` standardizes with the persisted training statistics —
+        pass the images exactly as they come off disk."""
+        flat = self._prepare(X, raw)
+        N = flat.shape[0]
         out = np.empty((N, self.model.likelihood.num_classes), np.float32)
         B = self.batch_size
         for start in range(0, N, B):
@@ -87,19 +110,19 @@ class Predictor:
             out[start:start + n] = np.asarray(probs)[:n]
         return out
 
-    def predict(self, X: np.ndarray) -> np.ndarray:
+    def predict(self, X: np.ndarray, raw: bool = False) -> np.ndarray:
         """[N, ...] -> [N] argmax class labels."""
-        return self.predict_proba(X).argmax(axis=1)
+        return self.predict_proba(X, raw=raw).argmax(axis=1)
 
-    def log_density(self, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    def log_density(self, X: np.ndarray, Y: np.ndarray,
+                    raw: bool = False) -> np.ndarray:
         """Per-point predictive log p(y | x), [N] — padded/batched like
         predict_proba so arbitrary request sizes reuse one compiled shape."""
-        X = np.asarray(X)
+        flat = self._prepare(X, raw)
         Y = np.asarray(Y).reshape(-1, 1)
-        N = X.shape[0]
+        N = flat.shape[0]
         if Y.shape[0] != N:
             raise ValueError(f"X has {N} rows but Y has {Y.shape[0]} labels")
-        flat = X.reshape(N, -1)
         if not hasattr(self, '_dens_fn'):
             S = self.num_samples
             self._dens_fn = jax.jit(

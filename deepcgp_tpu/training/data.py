@@ -112,6 +112,13 @@ def mnist_data(flags, dtype=np.float32, fashion: bool = False):
     scaler = StandardScaler()
     x_train = scaler.fit_transform(x_train.astype(np.float64)).astype(dtype)
     x_test = scaler.transform(x_test.astype(np.float64)).astype(dtype)
+    # Expose the fitted statistics (flat [D] layout) so the experiment can
+    # persist them for serving (deepcgp_tpu.serving applies them to raw
+    # inputs; the reference never served outside the training process).
+    try:
+        flags.preprocessing = {'mean': scaler.mean_, 'scale': scaler.scale_}
+    except AttributeError:
+        pass
     return (x_train.reshape(-1, 28, 28, 1), y_train,
             x_test.reshape(-1, 28, 28, 1), y_test)
 
@@ -135,6 +142,13 @@ def cifar_data(flags, dtype=np.float32):
     std = x_train.std(axis=(0, 1, 2))
     x_train /= std
     x_test /= std
+    H, W, C = x_train.shape[1:]
+    try:  # flat-layout stats for serving (see mnist_data)
+        flags.preprocessing = {
+            'mean': np.broadcast_to(mean, (H, W, C)).reshape(-1),
+            'scale': np.broadcast_to(std, (H, W, C)).reshape(-1)}
+    except AttributeError:
+        pass
     # The reference CIFAR entry never truncates the eval set (its test set
     # is [moved train tail + the full real test set], `conv_gp/cifar.py:19-22`).
     # An explicit --test-size is honored as a convenience, but taking the

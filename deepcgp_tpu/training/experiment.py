@@ -92,7 +92,8 @@ class Experiment:
         key = jax.random.PRNGKey(self.flags.seed)
         loaded, initial_step = None, 0
         if self.flags.load_model is not None:
-            num_layers = len([m for m in str(self.flags.M).split(',') if m])
+            from deepcgp_tpu.models.builder import parse_ints
+            num_layers = len(parse_ints(str(self.flags.M)))
             initial_step, loaded = ckpt.load_layer_parameters(
                 self._model_path(self.flags.load_model), num_layers)
         self.model = build_model(self.flags, self.X_train, self.Y_train,
@@ -139,6 +140,13 @@ class Experiment:
                    AccuracyLogger(), TrainELBOLogger(), StepsPerSecLogger()]
         self.log = Log(self.flags.log_dir, self.flags.name, loggers)
         self.log.write_flags(self.flags)
+        # Persist preprocessing statistics for serving (Predictor applies
+        # them to raw inputs; the reference only predicted in-process).
+        prep = getattr(self.flags, 'preprocessing', None)
+        if prep is not None:
+            import numpy as np
+            np.savez(os.path.join(self.log.log_dir, 'preprocessing.npz'),
+                     **prep)
         self.tensorboard_log = None
         if not getattr(self.flags, 'no_tensorboard', False):
             try:

@@ -19,12 +19,19 @@ import re
 
 import numpy as np
 
-from deepcgp_tpu.models.base_kernels import RBF
+from deepcgp_tpu.models.base_kernels import ArcCosine, RBF
 from deepcgp_tpu.models.layers import ConvLayer
 
 
 def model_parameters(model, global_step: int) -> dict:
-    """Flat {pathname: constrained value} dict (+ global_step)."""
+    """Flat {pathname: constrained value} dict (+ global_step).
+
+    Note on the KL prior anchor: Z0 is intentionally NOT saved.  The
+    reference snapshots its KL prior Kuu from the CURRENT Z at model
+    construction (`conv_gp/layers.py:149-152`), so a --load-model restart
+    re-anchors the prior at the loaded Z — this snapshot format reproduces
+    exactly that; the orbax full-state path preserves Z0 (and thus the
+    uninterrupted trajectory) instead."""
     params = {}
     for i, layer in enumerate(model.layers):
         prefix = f'DGP/layers/{i}/'
@@ -44,6 +51,13 @@ def model_parameters(model, global_step: int) -> dict:
                 np.asarray(base.variance)
             params[prefix + 'kern/base_kernel/lengthscales'] = \
                 np.asarray(base.lengthscales)
+        elif isinstance(base, ArcCosine):
+            params[prefix + 'kern/base_kernel/variance'] = \
+                np.asarray(base.variance)
+            params[prefix + 'kern/base_kernel/weight_variances'] = \
+                np.asarray(base.weight_variances)
+            params[prefix + 'kern/base_kernel/bias_variance'] = \
+                np.asarray(base.bias_variance)
     params['global_step'] = int(global_step)
     return params
 
@@ -79,6 +93,10 @@ def parse_layer_parameters(parameters: dict, model_layers: int):
             values['q_sqrt'] = value
         elif 'Z' in path:
             values['Z'] = value
+        elif 'base_kernel/weight_variances' in path:
+            values['base_kernel/weight_variances'] = value
+        elif 'base_kernel/bias_variance' in path:
+            values['base_kernel/bias_variance'] = value
         elif 'base_kernel/variance' in path:
             values['base_kernel/variance'] = value
         elif 'base_kernel/lengthscales' in path:

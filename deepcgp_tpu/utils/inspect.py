@@ -70,7 +70,10 @@ def patch_embedding(layer, NHWC_X: np.ndarray, max_data_patches: int = 5000,
     Returns (emb_inducing [M, 2], emb_data [n, 2]).  Uses UMAP when
     installed (the notebooks' choice); otherwise joint PCA."""
     from deepcgp_tpu.models.inducing import sample_patches
-    view = getattr(layer, 'view', None) or getattr(layer.kernel, 'view', None)
+    view = getattr(layer, 'view', None) or \
+        getattr(getattr(layer, 'kernel', None), 'view', None)
+    if view is None:
+        raise ValueError("layer has no patch view (plain-RBF last layer)")
     Z = np.asarray(layer.Z)
     data = np.asarray(sample_patches(
         jax.random.PRNGKey(seed), jnp.asarray(NHWC_X),

@@ -95,7 +95,11 @@ class Log:
         return '; '.join(f'{k}: {v}' for k, v in zip(self.headers, entry))
 
     def write_flags(self, flags) -> None:
-        write_toml(os.path.join(self.log_dir, 'options.toml'), vars(flags))
+        # Only scalar/str flags belong in options.toml (array-valued
+        # attachments like preprocessing stats are persisted separately).
+        mapping = {k: v for k, v in vars(flags).items()
+                   if isinstance(v, (str, int, float, bool)) or v is None}
+        write_toml(os.path.join(self.log_dir, 'options.toml'), mapping)
 
     def close(self) -> None:
         self.file.close()

@@ -22,6 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _elbo_jit(m, x, y, k):
+    return m.elbo(x, y, k)
+
+
 class LogLikelihoodLogger:
     title = 'train_log_likelihood'
 
@@ -37,7 +42,7 @@ class LogLikelihoodLogger:
         batches = math.ceil(n / self.batch_size)
         total = 0.0
         key = jax.random.PRNGKey(0)
-        elbo_fn = jax.jit(lambda m, x, y, k: m.elbo(x, y, k))
+        elbo_fn = _elbo_jit  # module-level: one trace per shape, not per call
         for i in range(batches):
             sl = slice(i * self.batch_size, (i + 1) * self.batch_size)
             key, sub = jax.random.split(key)

@@ -37,3 +37,48 @@ def test_predictor_from_run_dir(tmp_path):
 
     dens = pred.log_density(X, exp.Y_test[:13])
     assert dens.shape == (13,) and np.all(dens <= 1e-6)
+
+
+def test_predictor_raw_inputs_apply_training_scaler(tmp_path):
+    """Raw disk-layout images served with raw=True must match predictions
+    on pre-standardized inputs (the training scaler is persisted with the
+    run and applied by the Predictor)."""
+    import types
+    from deepcgp_tpu.training import data
+
+    args = read_args([
+        '--name', 'raws', '-N', '64', '-M', '4,4',
+        '--feature-maps', '2', '--filter-sizes', '5,5', '--strides', '2,2',
+        '--test-every', '2', '--lr-decay-steps', '4', '--test-size', '16',
+        '--num-samples', '2', '--batch-size', '8',
+        '--log-dir', str(tmp_path), '--no-tensorboard'])
+    exp = MNIST(args)
+    try:
+        exp.train_step()
+    finally:
+        exp.conclude()
+
+    import os
+    assert os.path.exists(tmp_path / 'raws' / 'preprocessing.npz')
+    pred = Predictor.from_run_dir(str(tmp_path / 'raws'),
+                                  exp.X_train, exp.Y_train,
+                                  batch_size=8, num_samples=2, seed=7)
+    assert pred.preprocessing is not None
+
+    # Raw test rows (what a serving client would send).
+    raw_flat, _, _, _ = data.load_dataset('mnist')
+    raw = raw_flat[:8].reshape(8, 28, 28, 1)
+    expected_std = ((raw.reshape(8, -1) - pred.preprocessing['mean'])
+                    / pred.preprocessing['scale']).astype(np.float32)
+
+    pred2 = Predictor.from_run_dir(str(tmp_path / 'raws'),
+                                   exp.X_train, exp.Y_train,
+                                   batch_size=8, num_samples=2, seed=7)
+    p_raw = pred.predict_proba(raw, raw=True)
+    p_std = pred2.predict_proba(expected_std)
+    np.testing.assert_allclose(p_raw, p_std, rtol=1e-5, atol=1e-6)
+
+    import pytest
+    pred_no = Predictor(pred.model, batch_size=8, num_samples=2)
+    with pytest.raises(ValueError, match='preprocessing'):
+        pred_no.predict_proba(raw, raw=True)
