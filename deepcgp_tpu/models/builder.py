@@ -201,9 +201,17 @@ def _last_layer(flags, key, H_X, M, filter_size, stride, layer_params, dtype):
 
     if flags.last_kernel == 'rbf':
         flat = H_X.reshape(H_X.shape[0], -1)
+        # A plain-RBF last layer stores its hyperparameters under the
+        # UN-prefixed 'kern/{variance,lengthscales}' pathnames, which the
+        # reference reads back as bare keys (`conv_gp/models.py:162-164`).
+        # The prefixed fallback keeps round-1 snapshots of this rebuild
+        # loading unchanged.
         kernel = RBF.create(
-            variance=layer_params.get('base_kernel/variance', 5.0),
-            lengthscales=layer_params.get('base_kernel/lengthscales', 5.0),
+            variance=layer_params.get(
+                'variance', layer_params.get('base_kernel/variance', 5.0)),
+            lengthscales=layer_params.get(
+                'lengthscales',
+                layer_params.get('base_kernel/lengthscales', 5.0)),
             ard_dim=conv_output_count, dtype=dtype)
         if Z is None:
             Z = np.asarray(inducing_points_from_data(

@@ -18,11 +18,13 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import warnings
 
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 _ACTIVE_MESH = contextvars.ContextVar('deepcgp_active_mesh', default=None)
+_WARNED_DROPS: set = set()  # one warning per (shape, spec, mesh shape)
 
 
 @contextlib.contextmanager
@@ -61,6 +63,20 @@ def constrain(x, *spec):
         elif _axis_ok(mesh, name, x.shape[dim]):
             clean.append(name)
         else:
-            return x  # requested axis doesn't divide: skip entirely
+            # Requested axis doesn't divide: skip the whole constraint (a
+            # None in a PartitionSpec is a hard 'replicate' pin, so partial
+            # application would be worse) — but say so ONCE at trace time:
+            # a user's '--mesh data=4,model=2' with e.g. an odd patch count
+            # would otherwise silently train pure-dp.
+            sig = (x.shape, spec, tuple(sizes.items()))
+            if sig not in _WARNED_DROPS:
+                _WARNED_DROPS.add(sig)
+                warnings.warn(
+                    f"deepcgp_tpu sharding constraint {spec} dropped for an "
+                    f"array of shape {x.shape}: dim {dim} (size "
+                    f"{x.shape[dim]}) does not divide mesh axis "
+                    f"'{name}' (size {sizes.get(name)}); GSPMD will infer "
+                    "this tensor's sharding instead", stacklevel=2)
+            return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*clean)))

@@ -9,9 +9,21 @@ indices, so there are zero host round-trips between optimizer steps.
 Optimizer wiring mirrors `conv_gp/experiment.py:90-111`:
 * Adam      — Adam on everything trainable;
 * SGD       — plain gradient descent;
-* NatGrad   — natural-gradient step on every layer's (q_mu, q_sqrt) followed
-              by an Adam step on the remaining parameters (two backward
-              passes, matching the reference's two sequential actions).
+* NatGrad   — natural-gradient step on every layer's (q_mu, q_sqrt) plus an
+              Adam step on the remaining parameters, both fed from ONE
+              ``value_and_grad`` evaluation (the reference runs two
+              sequential session actions out of TF-1 necessity,
+              `conv_gp/experiment.py:97-108`; the ELBO is the same function,
+              so a single backward pass serves both updates).
+
+NatGrad failure recovery is *deferred by one step*: a natural-gradient
+proposal can be finite yet push the ELBO into NaN territory, which the
+reference catches because its next session.run raises
+(`conv_gp/experiment.py:38-49`).  Here each step's loss evaluation doubles
+as the verification of the PREVIOUS commit: ``TrainState.prev_model`` holds
+the last parameters whose ELBO was observed finite, and a non-finite loss
+rolls the model back to it (and bumps ``steps_back`` so the gamma schedule
+retries smaller) — same recovery semantics, zero extra passes.
 """
 
 from __future__ import annotations
@@ -35,6 +47,9 @@ class TrainState:
     step: jax.Array          # global optimizer step (int32)
     steps_back: jax.Array    # NatGrad gamma backoff counter (float)
     key: jax.Array
+    # NatGrad only: the last parameters whose ELBO was observed finite
+    # (deferred-verification rollback target); () under Adam/SGD.
+    prev_model: typing.Any = ()
 
 
 @struct.dataclass
@@ -62,30 +77,47 @@ def init_state(model, config: TrainConfig, key: jax.Array,
     return TrainState(model=model, opt_state=opt_state,
                       step=jnp.asarray(global_step, jnp.int32),
                       steps_back=jnp.asarray(0.0, dtype),
-                      key=key)
+                      key=key,
+                      prev_model=model if config.optimizer == 'NatGrad'
+                      else ())
+
+
+def _where_tree(pred, new, old):
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(pred, n, o), new, old)
+
+
+def _all_finite(value, tree) -> jax.Array:
+    ok = jnp.isfinite(value)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+    return ok
 
 
 def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
     """One optimizer iteration; returns (new_state, elbo_value)."""
     model0 = state.model
-    model = model0
     lr = optim.learning_rate_schedule(config.lr, config.lr_decay_steps)(
         state.step)
     steps_back = state.steps_back
 
-    key = state.key
-    if config.optimizer == 'NatGrad':
-        key, k_ng = jax.random.split(key)
-        gamma = optim.gamma_schedule(state.step, steps_back, config.gamma)
-        grads = jax.grad(lambda m: -m.elbo(xb, yb, k_ng))(model)
-        new_layers, steps_back, _ = optim.natgrad_step_with_backoff(
-            model.layers, grads.layers, gamma.astype(xb.dtype), steps_back)
-        model = model.replace(layers=new_layers)
+    key, k_mc = jax.random.split(state.key)
+    loss, grads = jax.value_and_grad(lambda m: -m.elbo(xb, yb, k_mc))(model0)
+    loss_ok = jnp.isfinite(loss)
 
-    key, k_mc = jax.random.split(key)
-    loss, grads = jax.value_and_grad(lambda m: -m.elbo(xb, yb, k_mc))(model)
+    if config.optimizer == 'NatGrad':
+        # Both halves of the step from the ONE gradient evaluation above:
+        # natural gradient on (q_mu, q_sqrt), Adam on everything else.
+        gamma = optim.gamma_schedule(state.step, steps_back, config.gamma)
+        new_layers, _, ng_ok = optim.natgrad_step_with_backoff(
+            model0.layers, grads.layers, gamma.astype(xb.dtype), steps_back)
+        model_ng = model0.replace(layers=new_layers)
+    else:
+        ng_ok = jnp.asarray(True)
+        model_ng = model0
+
     mask = optim.trainable_mask(
-        model, exclude_variational=(config.optimizer == 'NatGrad'))
+        model0, exclude_variational=(config.optimizer == 'NatGrad'))
     grads = optim.apply_mask(grads, mask)
 
     if config.optimizer == 'SGD':
@@ -95,31 +127,35 @@ def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
         updates, new_opt_state = _adam_core().update(grads, state.opt_state)
 
     # Numerical-failure guard (the jit-friendly form of the reference's
-    # cholesky-failure retry, `conv_gp/experiment.py:38-49`): if the loss or
-    # any update is non-finite (failed Cholesky, NatGrad step too large, ...)
-    # the WHOLE step is rolled back — including a NatGrad proposal that was
-    # finite itself but broke the subsequent ELBO — parameters and optimizer
-    # moments stay intact, and in NatGrad mode ``steps_back`` is bumped so
-    # the gamma schedule retries smaller, exactly like the reference's
-    # catch/step_back_gamma/retry loop.  The failure stays visible as a NaN
-    # in the returned ELBO trace.
-    ok = jnp.isfinite(loss)
-    for leaf in jax.tree_util.tree_leaves(updates):
-        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
-
-    def commit(new, old):
-        return jax.tree_util.tree_map(
-            lambda n, o: jnp.where(ok, n, o), new, old)
+    # cholesky-failure retry, `conv_gp/experiment.py:38-49`): a step whose
+    # loss, Adam updates, or NatGrad proposal is non-finite is not committed
+    # — parameters and optimizer moments stay intact — and in NatGrad mode
+    # ``steps_back`` is bumped so the gamma schedule retries smaller.  The
+    # failure stays visible as a NaN in the returned ELBO trace.
+    ok = jnp.logical_and(jnp.logical_and(loss_ok, ng_ok),
+                         _all_finite(loss, updates))
 
     new_model = jax.tree_util.tree_map(
-        lambda p, u: p - lr.astype(p.dtype) * u, model, updates)
-    new_model = commit(new_model, model0)
-    state = state.replace(opt_state=commit(new_opt_state, state.opt_state))
-    if config.optimizer == 'NatGrad':
-        steps_back = jnp.where(ok, steps_back, steps_back + 1.0)
+        lambda p, u: p - lr.astype(p.dtype) * u, model_ng, updates)
 
-    return state.replace(model=new_model, step=state.step + 1,
-                         steps_back=steps_back, key=key), -loss
+    if config.optimizer == 'NatGrad':
+        # Deferred verification (see module docstring): a finite NatGrad
+        # proposal can still break the ELBO; this step's loss evaluation IS
+        # the check of the previous commit.  Non-finite loss => the current
+        # parameters are poisoned: roll back to the last verified ones.
+        new_model = _where_tree(ok, new_model,
+                                _where_tree(loss_ok, model0,
+                                            state.prev_model))
+        new_prev = _where_tree(loss_ok, model0, state.prev_model)
+        steps_back = jnp.where(ok, steps_back, steps_back + 1.0)
+    else:
+        new_model = _where_tree(ok, new_model, model0)
+        new_prev = state.prev_model
+
+    new_opt_state = _where_tree(ok, new_opt_state, state.opt_state)
+    return state.replace(model=new_model, opt_state=new_opt_state,
+                         step=state.step + 1, steps_back=steps_back,
+                         key=key, prev_model=new_prev), -loss
 
 
 @functools.partial(jax.jit, static_argnames=('config', 'num_steps'))

@@ -40,23 +40,31 @@ def model_parameters(model, global_step: int) -> dict:
         params[prefix + 'feature/Z'] = np.asarray(layer.Z)
         if isinstance(layer, ConvLayer):
             base = layer.base_kernel
+            kern_prefix = prefix + 'kern/base_kernel/'
         else:
             kern = layer.kernel
-            base = getattr(kern, 'base_kernel', kern)
+            base = getattr(kern, 'base_kernel', None)
+            if base is None:
+                # Plain base kernel (rbf last layer): gpflow pathnames have
+                # no 'base_kernel/' segment (`conv_gp/models.py:162-168`
+                # builds a bare gpflow.kernels.RBF, so its params save as
+                # 'kern/variance' / 'kern/lengthscales').
+                base = kern
+                kern_prefix = prefix + 'kern/'
+            else:
+                kern_prefix = prefix + 'kern/base_kernel/'
             pw = getattr(kern, 'patch_weights', None)
             if pw is not None:
                 params[prefix + 'kern/patch_weights'] = np.asarray(pw)
         if isinstance(base, RBF):
-            params[prefix + 'kern/base_kernel/variance'] = \
-                np.asarray(base.variance)
-            params[prefix + 'kern/base_kernel/lengthscales'] = \
+            params[kern_prefix + 'variance'] = np.asarray(base.variance)
+            params[kern_prefix + 'lengthscales'] = \
                 np.asarray(base.lengthscales)
         elif isinstance(base, ArcCosine):
-            params[prefix + 'kern/base_kernel/variance'] = \
-                np.asarray(base.variance)
-            params[prefix + 'kern/base_kernel/weight_variances'] = \
+            params[kern_prefix + 'variance'] = np.asarray(base.variance)
+            params[kern_prefix + 'weight_variances'] = \
                 np.asarray(base.weight_variances)
-            params[prefix + 'kern/base_kernel/bias_variance'] = \
+            params[kern_prefix + 'bias_variance'] = \
                 np.asarray(base.bias_variance)
     params['global_step'] = int(global_step)
     return params
@@ -103,6 +111,16 @@ def parse_layer_parameters(parameters: dict, model_layers: int):
             values['base_kernel/lengthscales'] = value
         elif 'patch_weights' in path:
             values['patch_weights'] = value
+        # Un-prefixed pathnames of a plain (non-patch) last-layer kernel —
+        # gpflow saves a bare RBF's params as 'kern/{variance,lengthscales}'
+        # and the reference's rbf branch reads exactly these keys
+        # (`conv_gp/models.py:162-164`).  Ordered last so the prefixed
+        # matches above win; 'lengthscales' before 'variance' is irrelevant
+        # (disjoint), but both must follow 'weight_variances'/'bias_variance'.
+        elif 'lengthscales' in path:
+            values['lengthscales'] = value
+        elif 'variance' in path:
+            values['variance'] = value
 
     stored_layers = max(layer_params.keys()) + 1
     assert stored_layers <= model_layers, \

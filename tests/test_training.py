@@ -203,6 +203,62 @@ def test_checkpoint_roundtrip_and_depth_remap(tmp_path):
     np.testing.assert_allclose(lp3[2]['Z'], np.asarray(model.layers[1].Z))
 
 
+def test_reference_rbf_last_layer_checkpoint_import(tmp_path):
+    """A genuine reference snapshot of a plain-RBF last layer stores its
+    hyperparameters under UN-prefixed pathnames ('kern/variance',
+    'kern/lengthscales' — gpflow pathname of a bare RBF), and the reference
+    reads them back as bare keys (`conv_gp/models.py:162-164`).  Importing
+    such a snapshot must preserve them — and our own rbf-last-layer save
+    must round-trip through the same format."""
+    X, Y = _small_data()
+    flags = _small_flags(last_kernel='rbf')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+
+    # (a) Synthetic reference-layout snapshot: bare 'kern/*' pathnames.
+    D = model.layers[1].Z.shape[1]
+    ls = np.linspace(1.0, 3.0, D)
+    ref_snapshot = {
+        'DGP/layers/0/q_mu': np.asarray(model.layers[0].q_mu),
+        'DGP/layers/0/q_sqrt': np.asarray(jnp.tril(model.layers[0].q_sqrt)),
+        'DGP/layers/0/feature/Z': np.asarray(model.layers[0].Z),
+        'DGP/layers/0/kern/base_kernel/variance': np.float64(2.5),
+        'DGP/layers/0/kern/base_kernel/lengthscales': np.float64(1.5),
+        'DGP/layers/1/q_mu': np.asarray(model.layers[1].q_mu),
+        'DGP/layers/1/q_sqrt': np.asarray(jnp.tril(model.layers[1].q_sqrt)),
+        'DGP/layers/1/feature/Z': np.asarray(model.layers[1].Z),
+        'DGP/layers/1/kern/variance': np.float64(7.0),
+        'DGP/layers/1/kern/lengthscales': ls,
+        'global_step': 42,
+    }
+    step, layer_params = ckpt.parse_layer_parameters(ref_snapshot, 2)
+    assert step == 42
+    assert 'variance' in layer_params[1] and 'lengthscales' in layer_params[1]
+    model2 = build_model(flags, X, Y, jax.random.PRNGKey(7),
+                         loaded_parameters=layer_params, dtype=jnp.float64)
+    np.testing.assert_allclose(float(model2.layers[1].kernel.variance), 7.0,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(model2.layers[1].kernel.lengthscales),
+                               ls, rtol=1e-10)
+    np.testing.assert_allclose(
+        float(model2.layers[0].base_kernel.variance), 2.5, rtol=1e-10)
+
+    # (b) Our own save writes the same un-prefixed layout for a bare-RBF
+    # last layer and round-trips.
+    path = os.path.join(tmp_path, 'rbf_last.npy')
+    ckpt.save_model(path, model2, global_step=43)
+    raw = ckpt.load_raw(path)
+    assert 'DGP/layers/1/kern/variance' in raw
+    assert 'DGP/layers/1/kern/base_kernel/variance' not in raw
+    step, lp = ckpt.load_layer_parameters(path, 2)
+    model3 = build_model(flags, X, Y, jax.random.PRNGKey(8),
+                         loaded_parameters=lp, dtype=jnp.float64)
+    np.testing.assert_allclose(float(model3.layers[1].kernel.variance), 7.0,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(model3.layers[1].kernel.lengthscales),
+                               ls, rtol=1e-10)
+
+
 # ------------------------------------------------------- end-to-end training
 def test_run_chunk_improves_elbo_adam():
     X, Y = _small_data(64)
@@ -287,10 +343,7 @@ def test_nan_step_is_skipped_not_committed():
     assert np.isfinite(np.asarray(elbos)).all()
 
 
-def test_natgrad_elbo_failure_rolls_back_and_bumps_gamma():
-    """A NatGrad proposal that is finite but breaks the subsequent ELBO must
-    roll back BOTH halves of the step and bump steps_back (reference
-    catch/step_back_gamma/retry semantics)."""
+def _natgrad_probe_setup():
     rng = np.random.RandomState(0)
     X = rng.randn(32, 8, 8, 1).astype(np.float32)
     Y = rng.randint(0, 10, size=(32, 1))
@@ -301,9 +354,14 @@ def test_natgrad_elbo_failure_rolls_back_and_bumps_gamma():
     config = TrainConfig(optimizer='NatGrad', lr=0.01, lr_decay_steps=100,
                          gamma=0.001, batch_size=8)
     state = trainer.init_state(model, config, jax.random.PRNGKey(1))
-    Xd = jnp.asarray(X.reshape(32, -1))
-    Yd = jnp.asarray(Y)
-    state, _ = trainer.run_chunk(state, config, Xd, Yd, 1)
+    return state, config, jnp.asarray(X.reshape(32, -1)), jnp.asarray(Y)
+
+
+def test_natgrad_bad_batch_not_committed_and_bumps_gamma():
+    """A non-finite loss must not let either half of the NatGrad step commit,
+    and must bump steps_back (reference catch/step_back_gamma/retry
+    semantics, `conv_gp/experiment.py:38-49`)."""
+    state, config, Xd, Yd = _natgrad_probe_setup()
     before = jax.tree_util.tree_map(np.asarray, state.model)
     sb_before = float(state.steps_back)
 
@@ -319,3 +377,42 @@ def test_natgrad_elbo_failure_rolls_back_and_bumps_gamma():
     # Recovery: clean batches train on with the reduced gamma.
     state3, elbos = trainer.run_chunk(state2, config, Xd, Yd, 3)
     assert np.isfinite(np.asarray(elbos)).all()
+
+
+def test_natgrad_deferred_rollback_restores_last_verified_params():
+    """Single-backward NatGrad verifies each commit with the NEXT step's
+    loss evaluation: a committed state whose ELBO turns out non-finite must
+    be rolled back to ``prev_model`` (the last verified parameters) so
+    training can continue — without this, a finite-but-poisonous proposal
+    would deadlock every subsequent step at NaN."""
+    state, config, Xd, Yd = _natgrad_probe_setup()
+    state, _ = trainer.run_chunk(state, config, Xd, Yd, 2)
+    good = jax.tree_util.tree_map(np.asarray, state.model)
+
+    # Emulate a finite NatGrad proposal that breaks the ELBO: poison the
+    # committed model with finite-but-absurd variational params.
+    bad_layers = list(state.model.layers)
+    bad_layers[0] = bad_layers[0].replace(
+        q_sqrt=jnp.full_like(bad_layers[0].q_sqrt, 1e30))
+    state_bad = state.replace(
+        model=state.model.replace(layers=tuple(bad_layers)))
+    assert not np.isfinite(float(state_bad.model.elbo(
+        Xd[:8], Yd[:8], jax.random.PRNGKey(3))))
+
+    # prev_model still holds verified params; the next CLEAN step detects
+    # the NaN loss and rolls back to them.
+    step = jax.jit(lambda s, x, y: trainer.train_step(s, config, x, y))
+    state2, elbo_bad = step(state_bad, Xd[:8], Yd[:8])
+    assert not np.isfinite(float(elbo_bad))
+    prev = jax.tree_util.tree_map(np.asarray, state.prev_model)
+    after = jax.tree_util.tree_map(np.asarray, state2.model)
+    for p, a in zip(jax.tree_util.tree_leaves(prev),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(p, a)
+    # And the recovered state trains on cleanly.
+    state3, elbos = trainer.run_chunk(state2, config, Xd, Yd, 3)
+    assert np.isfinite(np.asarray(elbos)).all()
+    # Sanity: the rollback target was itself a trained state, not init.
+    assert any(np.any(g != 0) for g in
+               [np.asarray(state.prev_model.layers[0].q_mu)])
+    del good
