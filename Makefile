@@ -1,4 +1,10 @@
-.PHONY: test bench dryrun native
+.PHONY: test bench dryrun native mnist-parity
+
+# Real-data accuracy parity vs the reference's committed N60000_M64 run
+# (0.9769 final accuracy).  Needs mnist.npz under $DEEPCGP_DATA_DIR
+# (or ~/.cache/deepcgp); refuses the synthetic fallback.
+mnist-parity:
+	python examples/mnist_parity.py
 
 test:
 	python -m pytest tests/ -q

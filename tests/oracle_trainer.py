@@ -1,0 +1,393 @@
+"""Full-pipeline reference-equation trainer (float64 oracle).
+
+An INDEPENDENT literal transcription of the reference's complete training
+math — model assembly, patch extraction, kernels, conditional, KLs,
+robust-max likelihood, doubly-stochastic ELBO, Adam — written in the
+reference's own layouts and equation order, with gradients by autodiff of
+the transcribed forward math:
+
+* RBF per gpflow 1.2 ``Stationary.square_dist`` (expanded form, no clamp);
+* patch extraction per ``tf.extract_image_patches`` ordering
+  (`conv_gp/views.py:34-44`), via literally-constructed gather indices;
+* ``conditional`` per `conv_gp/conditionals.py:6-67` (P-major layout,
+  map-style per-patch solves);
+* ``MultiOutputConvKernel`` per `conv_gp/layers.py:12-50`;
+* ``ConvLayer.conditional_ND`` / ``KL`` per `conv_gp/layers.py:96-152`
+  (frozen-Z prior, patch-major output reshape);
+* ``ConvKernel.Kzx``/``Kdiag`` per `conv_gp/kernels.py:106-137`;
+* final ``SVGP_Layer`` per its call-site contract (`conv_gp/models.py:192-198`,
+  the reference `conditional` with P=1);
+* ``gauss_kl`` per gpflow 1.2 (dense solves + slogdet — deliberately NOT the
+  triangular-solve form the library uses);
+* robust-max variational expectations per gpflow ``RobustMax.prob_is_largest``
+  (explicit per-class loop);
+* DGP ELBO per Salimbeni-Deisenroth: S reparameterised sample paths,
+  jitter-floored sampling noise, N/batch scaling
+  (`conv_gp/models.py:66-70` call contract);
+* Adam in the exact optax ``scale_by_adam`` formulation the trainer uses.
+
+``tests/test_trajectory_parity.py`` drives this trainer and the library's
+jitted ``trainer.train_step`` from SHARED initial parameters, minibatches,
+and Monte-Carlo noise, and requires the ELBO + parameter trajectories to
+match step-for-step.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+JITTER = 1e-3           # reference gpflowrc:10
+POSITIVE_LOWER = 1e-6   # gpflow Log1pe lower bound
+
+
+# ------------------------------------------------------------ primitives
+def log1pe(x):
+    """gpflow Log1pe forward: softplus(x) + lower."""
+    return jnp.logaddexp(x, 0.0) + POSITIVE_LOWER
+
+
+def rbf_K(raw_variance, raw_lengthscales, X, X2=None):
+    """gpflow 1.2 RBF: variance * exp(-0.5 * square_dist(X/ls, X2/ls)),
+    square_dist in the expanded form Xs - 2 X X2^T + X2s (no clamping)."""
+    var = log1pe(raw_variance)
+    ls = log1pe(raw_lengthscales)
+    X = X / ls
+    X2 = X if X2 is None else X2 / ls
+    Xs = jnp.sum(jnp.square(X), axis=-1)
+    X2s = jnp.sum(jnp.square(X2), axis=-1)
+    d2 = Xs[:, None] - 2.0 * X @ X2.T + X2s[None, :]
+    return var * jnp.exp(-0.5 * d2)
+
+
+def rbf_Kdiag(raw_variance, raw_lengthscales, X):
+    return jnp.full(X.shape[:-1], 1.0, X.dtype) * log1pe(raw_variance)
+
+
+def _patch_pixel_indices(H, W, filter_size, stride):
+    """Flat pixel indices [P, fh*fw] in tf.extract_image_patches order,
+    built with literal loops."""
+    Hout = (H - filter_size) // stride + 1
+    Wout = (W - filter_size) // stride + 1
+    rows = []
+    for i in range(Hout):
+        for j in range(Wout):
+            pix = []
+            for di in range(filter_size):
+                for dj in range(filter_size):
+                    pix.append((i * stride + di) * W + (j * stride + dj))
+            rows.append(pix)
+    return np.asarray(rows, dtype=np.int32)
+
+
+def extract_patches_NPL(NHWC_X, filter_size, stride):
+    """[N,H,W,C] -> [N,P,L] with (fh, fw, C) fastest-last-C element order
+    (`conv_gp/views.py:34-44`)."""
+    N, H, W, C = NHWC_X.shape
+    idx = _patch_pixel_indices(H, W, filter_size, stride)
+    flat = NHWC_X.reshape(N, H * W, C)
+    patches = flat[:, idx.reshape(-1), :]            # [N, P*fh*fw, C]
+    P = idx.shape[0]
+    return patches.reshape(N, P, idx.shape[1] * C)
+
+
+def conditional(Kmn, Kmm, Knn, f, *, full_cov=False, q_sqrt=None,
+                white=False):
+    """Literal transcription of `conv_gp/conditionals.py:6-67`.
+    Kmn: [P,M,N]; Kmm: [M,M]; Knn: [P,N] or [P,N,N]; f: [M,R];
+    q_sqrt: [R,M,M].  Returns (fmean [N,P,R], fvar [R,P,N(,N)])."""
+    R = f.shape[1]
+    Lm = jnp.linalg.cholesky(Kmm)
+
+    def solve_A(MN_Kmn):
+        return lax.linalg.triangular_solve(Lm, MN_Kmn, left_side=True,
+                                           lower=True)
+    A = jax.vmap(solve_A)(Kmn)                       # P x M x N
+
+    if full_cov:
+        fvar = Knn - jnp.einsum('pmn,pmk->pnk', A, A)
+        fvar = jnp.tile(fvar[None], (R, 1, 1, 1))
+    else:
+        fvar = Knn - jnp.sum(jnp.square(A), axis=1)  # P x N
+        fvar = jnp.tile(fvar[None], (R, 1, 1))
+
+    if not white:
+        def backsub(MN_A):
+            return lax.linalg.triangular_solve(Lm.T, MN_A, left_side=True,
+                                               lower=False)
+        A = jax.vmap(backsub)(A)
+
+    fmean = jnp.tensordot(A, f, ((1,), (0,)))        # P x N x R
+    fmean = jnp.transpose(fmean, (1, 0, 2))          # N x P x R
+
+    if q_sqrt is not None:
+        L = jnp.tril(q_sqrt)                         # R x M x M
+        LTA = jnp.tensordot(L, A, ((1,), (1,)))      # R x M x P x N
+        if full_cov:
+            fvar = fvar + jnp.tensordot(LTA, LTA, ((1,), (1,)))
+        else:
+            fvar = fvar + jnp.sum(jnp.square(LTA), axis=1)
+    return fmean, fvar
+
+
+def gauss_kl(q_mu, q_sqrt, K=None):
+    """gpflow 1.2 gauss_kl via dense solves + slogdet (R small: python loop).
+    q_mu [M,R]; q_sqrt [R,M,M]; K shared [M,M] or None (whitened)."""
+    M, R = q_mu.shape
+    Lq = jnp.tril(q_sqrt)
+    kl = jnp.zeros((), q_mu.dtype)
+    if K is not None:
+        logdet_K = jnp.linalg.slogdet(K)[1]
+    for r in range(R):
+        S = Lq[r] @ Lq[r].T
+        m = q_mu[:, r]
+        if K is None:
+            trace = jnp.trace(S)
+            mKm = m @ m
+            logdet_prior = 0.0
+        else:
+            trace = jnp.trace(jnp.linalg.solve(K, S))
+            mKm = m @ jnp.linalg.solve(K, m)
+            logdet_prior = logdet_K
+        logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diag(Lq[r]))))
+        kl = kl + 0.5 * (trace + mKm - M - logdet_S + logdet_prior)
+    return kl
+
+
+def prob_is_largest(Y, mu, var, num_classes, num_gh=20):
+    """gpflow RobustMax.prob_is_largest, explicit per-class loop.
+    Y [N,1] int; mu, var [N,K].  Returns [N,1]."""
+    gh_x, gh_w = np.polynomial.hermite.hermgauss(num_gh)
+    gh_x = jnp.asarray(gh_x, mu.dtype)
+    gh_w = jnp.asarray(gh_w, mu.dtype)
+    mu_sel = jnp.take_along_axis(mu, Y, axis=1)      # [N,1]
+    var_sel = jnp.take_along_axis(var, Y, axis=1)
+    X = mu_sel + gh_x[None, :] * jnp.sqrt(
+        jnp.clip(2.0 * var_sel, 1e-10, np.inf))      # [N,H]
+    prod = jnp.ones_like(X)
+    for j in range(num_classes):
+        dist = (X - mu[:, j:j + 1]) / jnp.sqrt(
+            jnp.clip(var[:, j:j + 1], 1e-10, np.inf))
+        cdf = 0.5 * (1.0 + lax.erf(dist / math.sqrt(2.0)))
+        cdf = cdf * (1.0 - 2e-4) + 1e-4
+        prod = prod * jnp.where(Y == j, jnp.ones_like(cdf), cdf)
+    p = prod @ gh_w / math.sqrt(math.pi)
+    return p[:, None]
+
+
+def multiclass_variational_expectations(Y, mu, var, num_classes, eps=1e-3):
+    p = prob_is_largest(Y, mu, var, num_classes)
+    return p * math.log(1.0 - eps) + \
+        (1.0 - p) * math.log(eps / (num_classes - 1.0))
+
+
+# ------------------------------------------------------------ layer forwards
+def conv_layer_forward(p, st, ND_X):
+    """`conv_gp/layers.py:96-135`.  ``p``: dict(q_mu, q_sqrt, Z,
+    raw_variance, raw_lengthscales); ``st``: static geometry dict."""
+    N = ND_X.shape[0]
+    H, W = st['input_size']
+    NHWC_X = ND_X.reshape(N, H, W, st['feature_maps'])
+    NPL = extract_patches_NPL(NHWC_X, st['filter_size'], st['stride'])
+    PNL = jnp.transpose(NPL, (1, 0, 2))
+    M = p['Z'].shape[0]
+
+    Kuu = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z']) + \
+        jnp.eye(M, dtype=ND_X.dtype) * JITTER        # layers.py:18-21
+    Kuf = jax.vmap(lambda NL: rbf_K(p['raw_variance'], p['raw_lengthscales'],
+                                    p['Z'], NL))(PNL)  # P x M x N
+    Knn = jax.vmap(lambda NL: rbf_Kdiag(p['raw_variance'],
+                                        p['raw_lengthscales'], NL))(PNL)
+
+    mean, var = conditional(Kuf, Kuu, Knn, p['q_mu'], full_cov=False,
+                            q_sqrt=p['q_sqrt'], white=st['white'])
+    R = p['q_mu'].shape[1]
+    P = PNL.shape[0]
+    var = jnp.transpose(var, (2, 1, 0)).reshape(N, P * R)
+    mean = mean.reshape(N, P * R)
+
+    if st['identity_mean']:
+        # Conv2dMean: centre-pixel copy of channel 0 into output map 0,
+        # zeros elsewhere, flattened (`conv_gp/mean_functions.py:28-41`).
+        f, s = st['filter_size'], st['stride']
+        c = f // 2
+        Ho = (H - f) // s + 1
+        Wo = (W - f) // s + 1
+        center = NHWC_X[:, c:c + s * Ho:s, c:c + s * Wo:s, 0]
+        maps = [center] + [jnp.zeros_like(center)] * (R - 1)
+        mean = mean + jnp.stack(maps, axis=-1).reshape(N, -1)
+    return mean, var
+
+
+def conv_layer_kl(p, st):
+    """`conv_gp/layers.py:137-152`: prior Kuu from the FROZEN Z snapshot,
+    current kernel hyperparameters."""
+    if st['white']:
+        return gauss_kl(p['q_mu'], p['q_sqrt'], None)
+    Z0 = st['Z0']
+    M = Z0.shape[0]
+    Kp = rbf_K(p['raw_variance'], p['raw_lengthscales'], Z0) + \
+        jnp.eye(M, dtype=Z0.dtype) * JITTER
+    return gauss_kl(p['q_mu'], p['q_sqrt'], Kp)
+
+
+def last_layer_forward(p, st, ND_X):
+    """Final SVGP layer with the ConvKernel patch-sum kernel
+    (`conv_gp/kernels.py:79-137`, dispatch `kernels.py:172-178`; the external
+    SVGP_Layer's conditional is the reference `conditional` at P=1)."""
+    N = ND_X.shape[0]
+    H, W = st['input_size']
+    C = st['feature_maps']
+    NHWC_X = ND_X.reshape(N, H, W, C)
+    patches = extract_patches_NPL(NHWC_X, st['filter_size'], st['stride'])
+    P = patches.shape[1]
+    L = patches.shape[2]
+    M = p['Z'].shape[0]
+    w = p['patch_weights']
+
+    # Kzx (`conv_gp/kernels.py:117-133`): M x N*P kernel, weighted patch sum.
+    Kzx = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z'],
+                patches.reshape(N * P, L))
+    Kzx = jnp.sum(Kzx.reshape(M, N, P) * w, axis=2) / P
+
+    # Kuu dispatch (`conv_gp/kernels.py:172-174`): Kzz + jitter I.
+    Kmm = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z']) + \
+        jnp.eye(M, dtype=ND_X.dtype) * JITTER
+
+    # Kdiag (`conv_gp/kernels.py:106-115`): per-image weighted double sum.
+    W2 = w[None, :] * w[:, None]
+    Kdiag = jax.vmap(
+        lambda pn: jnp.sum(rbf_K(p['raw_variance'], p['raw_lengthscales'],
+                                 pn) * W2))(patches) / (P ** 2)
+
+    mean, var = conditional(Kzx[None], Kmm, Kdiag[None], p['q_mu'],
+                            full_cov=False, q_sqrt=p['q_sqrt'],
+                            white=st['white'])
+    return mean[:, 0, :], var[:, 0].T                # [N,R], [N,R]
+
+
+def last_layer_kl(p, st):
+    """External SVGP_Layer KL: prior Kuu from the CURRENT Z."""
+    if st['white']:
+        return gauss_kl(p['q_mu'], p['q_sqrt'], None)
+    M = p['Z'].shape[0]
+    Kp = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z']) + \
+        jnp.eye(M, dtype=p['Z'].dtype) * JITTER
+    return gauss_kl(p['q_mu'], p['q_sqrt'], Kp)
+
+
+# ------------------------------------------------------------ DGP ELBO
+def elbo(params, statics, X, Y, z_list, num_data, num_classes=10):
+    """Salimbeni-Deisenroth doubly-stochastic minibatch ELBO with EXPLICIT
+    reparameterisation noise ``z_list`` (one [S,N,O_l] array per layer)."""
+    n_layers = len(params)
+    S = z_list[0].shape[0]
+
+    def sample_path(zs):
+        F = X
+        mean = var = None
+        for i in range(n_layers):
+            if i < n_layers - 1:
+                mean, var = conv_layer_forward(params[i], statics[i], F)
+            else:
+                mean, var = last_layer_forward(params[i], statics[i], F)
+            F = mean + zs[i] * jnp.sqrt(var + JITTER)
+        return mean, var
+
+    Fmean, Fvar = jax.vmap(sample_path)(tuple(z_list))  # [S,N,K] each
+    ve = jax.vmap(lambda m, v: multiclass_variational_expectations(
+        Y, m, v, num_classes))(Fmean, Fvar)             # [S,N,1]
+    ell = jnp.sum(jnp.mean(ve, axis=0))
+
+    kl = jnp.zeros((), X.dtype)
+    for i in range(n_layers):
+        if i < n_layers - 1:
+            kl = kl + conv_layer_kl(params[i], statics[i])
+        else:
+            kl = kl + last_layer_kl(params[i], statics[i])
+    scale = num_data / X.shape[0]
+    return scale * ell - kl
+
+
+# ------------------------------------------------------------ Adam trainer
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def adam_init(params):
+    zeros = lambda p: jax.tree_util.tree_map(jnp.zeros_like, p)
+    return {'m': zeros(params), 'v': zeros(params), 't': 0}
+
+
+def adam_step(params, grads, opt, lr):
+    t = opt['t'] + 1
+    m = jax.tree_util.tree_map(
+        lambda m_, g: ADAM_B1 * m_ + (1 - ADAM_B1) * g, opt['m'], grads)
+    v = jax.tree_util.tree_map(
+        lambda v_, g: ADAM_B2 * v_ + (1 - ADAM_B2) * g * g, opt['v'], grads)
+    def upd(p, m_, v_):
+        mhat = m_ / (1 - ADAM_B1 ** t)
+        vhat = v_ / (1 - ADAM_B2 ** t)
+        return p - lr * mhat / (jnp.sqrt(vhat) + ADAM_EPS)
+    params = jax.tree_util.tree_map(upd, params, m, v)
+    return params, {'m': m, 'v': v, 't': t}
+
+
+def learning_rate(lr0, decay_steps, step):
+    """Staircase exponential decay (`conv_gp/experiment.py:72-73`)."""
+    return lr0 * 0.1 ** (step // decay_steps)
+
+
+# ------------------------------------------------ bridge from built models
+def params_from_model(model):
+    """Mirror a deepcgp_tpu DGP's trainable parameters into the oracle's
+    plain-dict representation (shared initialisation)."""
+    params = []
+    for i, layer in enumerate(model.layers):
+        is_last = i == len(model.layers) - 1
+        base = layer.kernel.base_kernel if is_last else layer.base_kernel
+        p = {
+            'q_mu': jnp.asarray(layer.q_mu),
+            'q_sqrt': jnp.tril(jnp.asarray(layer.q_sqrt)),
+            'Z': jnp.asarray(layer.Z),
+            'raw_variance': jnp.asarray(base.raw_variance),
+            'raw_lengthscales': jnp.asarray(base.raw_lengthscales),
+        }
+        if is_last:
+            p['patch_weights'] = jnp.asarray(layer.kernel.patch_weights)
+        params.append(p)
+    return params
+
+
+def statics_from_model(model):
+    statics = []
+    for i, layer in enumerate(model.layers):
+        is_last = i == len(model.layers) - 1
+        view = layer.kernel.view if is_last else layer.view
+        st = {
+            'input_size': tuple(view.input_size),
+            'filter_size': view.filter_size,
+            'stride': view.stride,
+            'feature_maps': view.feature_maps,
+            'white': layer.white,
+        }
+        if not is_last:
+            st['Z0'] = jnp.asarray(layer.Z0)
+            from deepcgp_tpu.models.mean_functions import Zero
+            st['identity_mean'] = not isinstance(layer.mean_function, Zero)
+        statics.append(st)
+    return statics
+
+
+def noise_like(k_mc, S, N, out_dims, dtype):
+    """Replicate deepcgp_tpu.models.dgp.DGP.propagate's PRNG path: one
+    split + normal per layer, shapes [S, N, O_l]."""
+    zs = []
+    key = k_mc
+    for O in out_dims:
+        key, sub = jax.random.split(key)
+        zs.append(jax.random.normal(sub, (S, N, O), dtype=dtype))
+    return zs

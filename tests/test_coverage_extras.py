@@ -147,3 +147,16 @@ def test_training_variants_white_and_arccosine(variant):
     e = np.asarray(elbos)
     assert np.isfinite(e).all()
     assert e[-10:].mean() > e[:10].mean()
+
+
+def test_mnist_parity_script_refuses_synthetic_data(tmp_path):
+    """`make mnist-parity` must never 'pass' on the synthetic fallback: with
+    no real mnist.npz the script exits 2 before building anything."""
+    import subprocess, sys, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, DEEPCGP_DATA_DIR=str(tmp_path / 'nothing_here'))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, 'examples', 'mnist_parity.py')],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 2
+    assert 'real MNIST not found' in proc.stderr
