@@ -47,6 +47,14 @@ def default_parser() -> argparse.ArgumentParser:
                         help="Device mesh spec, e.g. 'data=4' or "
                              "'data=4,model=2'; empty = single device.")
     parser.add_argument('--no-tensorboard', action='store_true')
+    parser.add_argument('--distributed', action='store_true',
+                        help="Multi-host SPMD: call jax.distributed."
+                             "initialize() (coordinator/rank from the usual "
+                             "env vars) and feed the mesh through the "
+                             "multihost input path — each process ships only "
+                             "its row shard of the training set to its local "
+                             "devices.  Also auto-enabled when "
+                             "JAX_COORDINATOR_ADDRESS is set.")
     parser.add_argument('--full-state-ckpt', action='store_true',
                         help="Also checkpoint the FULL train state (model + "
                              "optimizer moments + PRNG key) with orbax and "

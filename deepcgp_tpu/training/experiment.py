@@ -26,6 +26,12 @@ class Experiment:
     def __init__(self, flags):
         self.flags = flags
         self.last_mean_elbo = float('nan')
+        # Multi-host SPMD must be initialised before the first device use
+        # (it changes what jax.devices() returns on every process).
+        if getattr(flags, 'distributed', False) or \
+                os.environ.get('JAX_COORDINATOR_ADDRESS'):
+            from deepcgp_tpu.parallel import multihost
+            multihost.initialize_distributed()
         self._load_data()
         self._setup_model()
         self._setup_optimizer()
@@ -115,12 +121,17 @@ class Experiment:
         # explicit that the reference has nothing like this).
         self.mesh = None
         self._sharded_chunk = None
+        self._sharded_eval = None
         if getattr(self.flags, 'mesh', ''):
             from deepcgp_tpu.parallel import mesh as mesh_lib
-            from deepcgp_tpu.parallel.train import make_sharded_train_fns
+            from deepcgp_tpu.parallel.train import (make_sharded_eval_fn,
+                                                    make_sharded_train_fns)
             self.mesh = mesh_lib.make_mesh(self.flags.mesh)
             _, self._sharded_chunk = make_sharded_train_fns(self.mesh,
                                                             self.config)
+            self._sharded_eval = make_sharded_eval_fn(self.mesh,
+                                                      batch_size=32,
+                                                      num_samples=5)
         # Preemption resume: restore the full state (incl. optimizer
         # moments, unlike the reference's .npy path) when present.
         if getattr(self.flags, 'full_state_ckpt', False) and \
@@ -129,10 +140,25 @@ class Experiment:
                                                   self.state)
             print(f"resumed full train state at step {int(self.state.step)}",
                   flush=True)
-        # Training data resident on device, flattened.
-        self.X_train_dev = jnp.asarray(
-            self.X_train.reshape(self.X_train.shape[0], -1))
-        self.Y_train_dev = jnp.asarray(self.Y_train)
+        # Training data resident on device, flattened.  Under a mesh the
+        # resident set is built through the multihost input path: each
+        # process ships only its contiguous row shard host->device, and the
+        # shards assemble into ONE global jax.Array row-sharded over 'data'
+        # (at process_count=1 the "shard" is the whole set, so the same code
+        # runs single-host — parallel/multihost.py).  Model construction
+        # above intentionally used the FULL arrays: k-means inducing-point
+        # init must be identical on every process or the SPMD programs
+        # diverge; only the device-resident copies are sharded.
+        X_flat = self.X_train.reshape(self.X_train.shape[0], -1)
+        if self.mesh is not None:
+            from deepcgp_tpu.parallel import multihost
+            self.X_train_dev, self.Y_train_dev = multihost.host_local_to_global(
+                self.mesh,
+                multihost.process_shard(X_flat),
+                multihost.process_shard(self.Y_train))
+        else:
+            self.X_train_dev = jnp.asarray(X_flat)
+            self.Y_train_dev = jnp.asarray(self.Y_train)
 
     def _setup_logger(self):
         from deepcgp_tpu.utils.profiling import StepsPerSecLogger
@@ -168,7 +194,16 @@ class Experiment:
 
     def test_accuracy(self) -> float:
         X = self.X_test.reshape(self.X_test.shape[0], -1)
+        key = jax.random.PRNGKey(self.flags.seed + 2)
+        if self._sharded_eval is not None:
+            # Eval rides the mesh too: test-batch rows over 'data', patch
+            # axis over 'model' (same PRNG path as the single-device eval).
+            import numpy as np
+            probs = np.asarray(self._sharded_eval(
+                self.state.model, jnp.asarray(X), key))
+            return float(
+                (probs.argmax(axis=1)[:, None] == np.asarray(self.Y_test))
+                .sum() / self.Y_test.size)
         return float(trainer.accuracy(
-            self.state.model, X, self.Y_test,
-            jax.random.PRNGKey(self.flags.seed + 2),
+            self.state.model, X, self.Y_test, key,
             batch_size=32, num_samples=5))

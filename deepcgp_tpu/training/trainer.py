@@ -197,6 +197,11 @@ def predict_probs_scanned(model, X, key, batch_size: int = 32,
     pad = n_batches * batch_size - N
     Xp = jnp.pad(X, ((0, pad), (0, 0)))
     Xb = Xp.reshape(n_batches, batch_size, X.shape[1])
+    # Under an active mesh, shard each scanned batch's rows over 'data' (the
+    # in-layer constraints handle 'model'); no-op single-device.  Without
+    # this pin GSPMD tends to shard the SCAN axis, serializing the mesh.
+    from deepcgp_tpu.parallel import sharding
+    Xb = sharding.constrain(Xb, None, 'data', None)
 
     def body(key, xb):
         key, sub = jax.random.split(key)

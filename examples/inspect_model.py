@@ -2,8 +2,10 @@
 
     python examples/inspect_model.py results/mnist_example
 
-Prints noise-robustness accuracies and writes inducing-patch tilings plus
-2-D patch embeddings as .npy arrays next to the run.
+Prints noise-robustness accuracies, writes inducing-patch tilings plus 2-D
+patch embeddings as .npy arrays next to the run, and renders the notebook
+figures (inducing-patch grid, patch-embedding scatter, noise-robustness
+curve — `notebooks/Inspect.ipynb`) as PNGs in the run dir.
 """
 
 import os
@@ -48,6 +50,24 @@ def main(run_dir: str) -> None:
                                  jax.random.PRNGKey(1))
     for sigma, acc in accs.items():
         print(f"noise sigma={sigma:.2f}: accuracy {acc:.4f}")
+
+    # Rendered figure artifacts (the notebooks' output, as PNGs).
+    from deepcgp_tpu.utils import figures
+    for i, layer in enumerate(model.layers):
+        view = getattr(layer, 'view', None) or \
+            getattr(getattr(layer, 'kernel', None), 'view', None)
+        if view is None:
+            continue
+        p = figures.render_inducing_grid(
+            layer, f"{run_dir}/inducing_grid_layer{i}.png")
+        print(f"wrote {p}")
+    p = figures.render_patch_embedding(
+        model.layers[0], X_train[:500],
+        f"{run_dir}/patch_embedding_layer0.png")
+    print(f"wrote {p}")
+    p = figures.render_noise_robustness(
+        accs, f"{run_dir}/noise_robustness.png")
+    print(f"wrote {p}")
 
 
 if __name__ == '__main__':
