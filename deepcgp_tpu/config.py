@@ -29,13 +29,6 @@ class Settings:
     positive_minimum: float = 1e-6
     # Gauss-Hermite points for the robust-max likelihood (gpflow default).
     num_gauss_hermite_points: int = 20
-    # Use the Pallas fused RBF cross-covariance kernel for Kuf (TPU only,
-    # f32 only; falls back to the XLA path everywhere else).
-    use_pallas: bool = False
-    # Replace per-step wide triangular solves in the conditional with one
-    # triangular inverse + matmuls (MXU-friendlier; slightly less stable,
-    # covered by the jitter and the f32/f64 drift gate).
-    tri_inverse: bool = False
 
 
 def _env_flag(name: str) -> bool:
@@ -49,8 +42,6 @@ def _apply_env_overrides(s: Settings) -> Settings:
 
     DEEPCGP_JITTER=<float>    absolute Kuu jitter (default 1e-3)
     DEEPCGP_FLOAT64=1         default dtype f64 (also enables jax x64 mode)
-    DEEPCGP_USE_PALLAS=1      fused Pallas RBF Kuf path
-    DEEPCGP_TRI_INVERSE=1     inverse-based conditional (f64 mode only)
     """
     if os.environ.get('DEEPCGP_JITTER'):
         s.jitter = float(os.environ['DEEPCGP_JITTER'])
@@ -58,10 +49,6 @@ def _apply_env_overrides(s: Settings) -> Settings:
         import jax
         jax.config.update('jax_enable_x64', True)
         s.float_type = jnp.float64
-    if _env_flag('DEEPCGP_USE_PALLAS'):
-        s.use_pallas = True
-    if _env_flag('DEEPCGP_TRI_INVERSE'):
-        s.tri_inverse = True
     return s
 
 

@@ -24,19 +24,6 @@ from deepcgp_tpu.config import settings
 from deepcgp_tpu.ops.linalg import add_jitter
 
 
-def _pallas_ok(base_kernel, patches) -> bool:
-    """The fused Pallas path applies to f32 RBF on a TPU backend."""
-    from deepcgp_tpu.models.base_kernels import RBF
-    if not isinstance(base_kernel, RBF):
-        return False
-    if patches.dtype != jnp.float32:
-        return False
-    try:
-        return jax.default_backend() not in ('cpu',)
-    except Exception:
-        return False
-
-
 @struct.dataclass
 class MultiOutputConvKernel:
     """Shared base kernel evaluated independently at each patch position.
@@ -53,14 +40,13 @@ class MultiOutputConvKernel:
 
     def Kuf_PNM(self, Z: jax.Array, PNL_patches: jax.Array) -> jax.Array:
         """[P, N, M]: the natural (and M-minor, layout-friendly) orientation
-        the batched kernel evaluation produces."""
-        if settings.use_pallas and _pallas_ok(self.base_kernel, PNL_patches):
-            from deepcgp_tpu.ops.pallas_kernels import rbf_cross
-            P, N, L = PNL_patches.shape
-            ls = self.base_kernel.lengthscales
-            flat = (PNL_patches / ls).reshape(P * N, L)
-            K = rbf_cross(flat, Z / ls, self.base_kernel.variance)
-            return K.reshape(P, N, -1)
+        the batched kernel evaluation produces.
+
+        (Scalar-lengthscale RBF layers normally never reach this: the layer
+        computes Kuf straight from the image as a convolution with Z as
+        filters — ops/conv_cross.py — which is what the round-1 Pallas RBF
+        kernel was trying to approximate; that kernel measured perf-neutral
+        and was removed in round 2, see PARITY.md.)"""
         return self.base_kernel.K(PNL_patches, Z[None])  # [P, N, M]
 
     def Kuf(self, Z: jax.Array, PNL_patches: jax.Array) -> jax.Array:
@@ -106,6 +92,26 @@ class AdditivePatchKernel:
         NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)
         return self.view.extract_patches_NPL(NHWC)  # [N, P, L]
 
+    def _patches_any_order(self, ND_X: jax.Array) -> jax.Array:
+        """[N, P, L] with an UNSPECIFIED (but fixed) within-patch element
+        order — only valid for consumers whose math is invariant to a fixed
+        permutation of the L axis (pairwise distances/inner products among
+        patches of one extraction, with a scalar lengthscale).  Skips the
+        stack-of-slices relayout (ops/patches.py)."""
+        from deepcgp_tpu.models.base_kernels import RBF
+        from deepcgp_tpu.models.views import FullView
+        from deepcgp_tpu.ops.patches import extract_patches_unordered
+        if (isinstance(self.view, FullView)
+                and isinstance(self.base_kernel, RBF)
+                and jnp.ndim(self.base_kernel.raw_lengthscales) == 0):
+            N = ND_X.shape[0]
+            H, W = self.view.input_size
+            NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)
+            return extract_patches_unordered(
+                NHWC, self.view.filter_size, self.view.stride,
+                getattr(self.view, 'dilation', 1))
+        return self._patches(ND_X)
+
     def K(self, ND_X: jax.Array, ND_X2: jax.Array | None = None) -> jax.Array:
         P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)           # [P, N, L]
         P2 = P1 if ND_X2 is None else jnp.swapaxes(self._patches(ND_X2), 0, 1)
@@ -114,15 +120,36 @@ class AdditivePatchKernel:
         return jnp.mean(PNN, axis=0)
 
     def Kdiag(self, ND_X: jax.Array) -> jax.Array:
+        from deepcgp_tpu.models.base_kernels import RBF
+        if isinstance(self.base_kernel, RBF):
+            # RBF Kdiag is the constant variance — patch values never enter
+            # (mean_p w_p * v = v * mean(w)); skip the extraction.
+            v = self.base_kernel.variance * jnp.mean(self.patch_weights)
+            return jnp.full((ND_X.shape[0],), 1.0, ND_X.dtype) * v
         P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)            # [P, N, L]
         PN = self.base_kernel.Kdiag(P1)                          # [P, N]
         return jnp.mean(PN * self.patch_weights[:, None], axis=0)
+
+    def _patch_kernel_NPM(self, ND_X: jax.Array, Z: jax.Array) -> jax.Array:
+        """[N, P, M] = k(x[p], z_m) per patch position.  Scalar-RBF over a
+        FullView goes through the conv formulation (ops/conv_cross.py):
+        the im2col tensor never hits HBM, which removes ~0.5ms/step of
+        layout copies at the flagship shape."""
+        from deepcgp_tpu.ops import conv_cross
+        if conv_cross.supports(self.base_kernel, self.view):
+            N = ND_X.shape[0]
+            H, W = self.view.input_size
+            return conv_cross.rbf_cross_from_images(
+                ND_X.reshape(N, H, W, self.view.feature_maps), Z,
+                self.base_kernel.variance, self.base_kernel.lengthscales,
+                self.view.filter_size, self.view.stride, self.view.dilation)
+        return self.base_kernel.K(self._patches(ND_X), Z[None])
 
     def Kzx_NM(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
         """[N, M] = mean_p w_p k(x[p], Z) — M-minor orientation (matches the
         conditional's pnm layout; avoids retiling the [M, N*P] base-kernel
         matrix, which profiled as the dominant copy at M=1024)."""
-        NPM = self.base_kernel.K(self._patches(ND_X), Z[None])  # [N, P, M]
+        NPM = self._patch_kernel_NPM(ND_X, Z)                    # [N, P, M]
         w = self.patch_weights / self.patch_weights.shape[0]
         return jnp.einsum('npm,p->nm', NPM, w)
 
@@ -153,7 +180,9 @@ class ConvKernel(AdditivePatchKernel):
 
     def Kdiag(self, ND_X: jax.Array) -> jax.Array:
         pc = self.view.patch_count
-        patches = self._patches(ND_X)                            # [N, P, L]
+        # Pairwise distances among one extraction's patches are invariant
+        # to the within-patch element order -> any-order extraction is safe.
+        patches = self._patches_any_order(ND_X)                  # [N, P, L]
         NPP = self.base_kernel.K(patches)                        # [N, P, P]
         w = self.patch_weights
         W = w[:, None] * w[None, :]

@@ -132,21 +132,41 @@ class ConvLayer:
                              full_cov: bool = False):
         """Rebuild of `conv_gp/layers.py:96-135`; returns
         (mean [N, P*R], var [N, P*R] or [N, N, P*R])."""
+        from deepcgp_tpu.ops import conv_cross
+
         N = ND_X.shape[0]
         H, W = self.view.input_size
         NHWC_X = ND_X.reshape(N, H, W, self.view.feature_maps)
-        NPL = self.view.extract_patches_NPL(NHWC_X)
-        PNL = jnp.swapaxes(NPL, 0, 1)
-        # Under an active mesh: batch -> 'data', patch axis -> 'model'
-        # (no-ops single-device; see deepcgp_tpu.parallel.sharding).
-        PNL = sharding.constrain(PNL, 'model', 'data', None)
 
-        Kuf = self.conv_kernel.Kuf_PNM(self.Z, PNL)      # [P, N, M]
-        Kuf = sharding.constrain(Kuf, 'model', 'data', None)
-        if full_cov:
-            Knn = self.conv_kernel.Kff(PNL)              # [P, N, N]
+        if not full_cov and conv_cross.supports(self.base_kernel, self.view):
+            # Scalar-RBF over a FullView: Kuf comes straight off the image
+            # as a convolution with Z as filters (ops/conv_cross.py) — the
+            # [P, N, L] im2col tensor never exists.  RBF Kdiag is the
+            # constant variance and FullView.mean_view ignores the patches,
+            # so nothing else needed them.
+            NPM = conv_cross.rbf_cross_from_images(
+                NHWC_X, self.Z, self.base_kernel.variance,
+                self.base_kernel.lengthscales, self.view.filter_size,
+                self.view.stride, self.view.dilation)
+            Kuf = jnp.swapaxes(NPM, 0, 1)                # [P, N, M]
+            Kuf = sharding.constrain(Kuf, 'model', 'data', None)
+            Knn = jnp.broadcast_to(
+                self.base_kernel.variance.astype(Kuf.dtype),
+                (self.patch_count, N))                   # RBF Kdiag
+            NPL = None
         else:
-            Knn = self.conv_kernel.Kdiag(PNL)            # [P, N]
+            NPL = self.view.extract_patches_NPL(NHWC_X)
+            PNL = jnp.swapaxes(NPL, 0, 1)
+            # Under an active mesh: batch -> 'data', patch axis -> 'model'
+            # (no-ops single-device; see deepcgp_tpu.parallel.sharding).
+            PNL = sharding.constrain(PNL, 'model', 'data', None)
+
+            Kuf = self.conv_kernel.Kuf_PNM(self.Z, PNL)      # [P, N, M]
+            Kuf = sharding.constrain(Kuf, 'model', 'data', None)
+            if full_cov:
+                Knn = self.conv_kernel.Kff(PNL)              # [P, N, N]
+            else:
+                Knn = self.conv_kernel.Kdiag(PNL)            # [P, N]
 
         mean, var = multi_output_conditional(
             Kuf, None, Knn, self.q_mu, full_cov=full_cov,

@@ -57,21 +57,13 @@ def multi_output_conditional(
 
     R = f.shape[1]
 
-    if settings.tri_inverse:
-        # Invert the shared triangular factor ONCE (one M-RHS solve), then
-        # every downstream "solve" is a plain MXU matmul.  f64-mode option:
-        # the explicit inverse is not f32-train-stable for this workload.
-        Lm_inv = linalg.solve_triangular_mrhs(
-            Lm, jnp.eye(Lm.shape[-1], dtype=Lm.dtype), lower=True)
-        A = jnp.einsum('pnm,km->pnk', Kmn, Lm_inv)           # Kmn Lm^-T
-    else:
-        # Row form of A = Lm^-1 Kmn per patch: solve A Lm^T = Kmn with the
-        # P*N stacked rows kept M-minor (fold [P, N, M] -> [P*N, M]; the
-        # fold is layout-free since M is already innermost).
-        shape = Kmn.shape
-        A = lax.linalg.triangular_solve(
-            Lm, Kmn.reshape(-1, shape[-1]), left_side=False,
-            lower=True, transpose_a=True).reshape(shape)
+    # Row form of A = Lm^-1 Kmn per patch: solve A Lm^T = Kmn with the
+    # P*N stacked rows kept M-minor (fold [P, N, M] -> [P*N, M]; the
+    # fold is layout-free since M is already innermost).
+    shape = Kmn.shape
+    A = lax.linalg.triangular_solve(
+        Lm, Kmn.reshape(-1, shape[-1]), left_side=False,
+        lower=True, transpose_a=True).reshape(shape)
 
     if full_cov:
         # fvar[p] = Knn[p] - A[p] A[p]^T  (row form).
@@ -84,24 +76,37 @@ def multi_output_conditional(
     if not white:
         # Unwhitened: A <- A Lm^-1 (row form of Lm^-T A,
         # reference conditionals.py:44-47).
-        if settings.tri_inverse:
-            A = jnp.einsum('pnm,mk->pnk', A, Lm_inv)
-        else:
-            shape = A.shape
-            A = lax.linalg.triangular_solve(
-                Lm, A.reshape(-1, shape[-1]), left_side=False,
-                lower=True).reshape(shape)
+        shape = A.shape
+        A = lax.linalg.triangular_solve(
+            Lm, A.reshape(-1, shape[-1]), left_side=False,
+            lower=True).reshape(shape)
 
     # fmean = A f -> [N, P, R].
     fmean = jnp.einsum('pnm,mr->npr', A, f)
 
     if q_sqrt is not None:
         L = jnp.tril(q_sqrt)                                  # [R, M, M]
-        # LTA[r, p, n, s] = sum_m A[p, n, m] L[r, m, s]  ((L^T A) row form).
-        LTA = jnp.einsum('rms,pnm->rpns', L, A)               # [R, P, N, M]
         if full_cov:
+            # Eval/sampling path (small N): the batched form is fine here.
+            LTA = jnp.einsum('rms,pnm->rpns', L, A)           # [R, P, N, M]
             fvar = fvar + jnp.einsum('rpns,rpks->rpnk', LTA, LTA)
         else:
-            fvar = fvar + jnp.sum(jnp.square(LTA), axis=-1)   # [R, P, N]
+            # q-term[r] = rowwise ||A L_r||^2 (the LTA term of
+            # conditionals.py:53-65), computed as ONE wide MXU matmul
+            # [P*N, M] @ [M, R*M] with the square-reduce fused onto its
+            # M-minor output.  The batched-einsum form ('rms,pnm->rpns')
+            # broadcast A across the R batch dimension and stacked the
+            # result R-major — profiling showed ~0.7ms/step of pure
+            # layout copies around that [R, P, N, M] intermediate at the
+            # flagship shape; a scan over R starves the MXU instead
+            # (measured 144 vs 295 steps/s).  The wide form reads A once,
+            # writes LTA once in its native layout, and the reduce is
+            # over the minor axis.
+            P, N, M = A.shape
+            LTA = jnp.einsum('xm,rms->xrs', A.reshape(P * N, M),
+                             L)                               # [P*N, R, M]
+            qterm = jnp.sum(jnp.square(LTA), axis=-1)         # [P*N, R]
+            fvar = fvar + jnp.transpose(
+                qterm.reshape(P, N, -1), (2, 0, 1))           # [R, P, N]
 
     return fmean, fvar

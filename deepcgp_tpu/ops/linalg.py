@@ -100,7 +100,13 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
         logdet_prior = R * 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Lp))))
 
     mahalanobis = jnp.sum(jnp.square(alpha))
-    logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(
-        jnp.diagonal(Lq, axis1=-2, axis2=-1))))
+    # logdet via a masked elementwise log: off-diagonal entries are replaced
+    # by 1 (log 1 = 0), so the whole term — and crucially its GRADIENT — is
+    # elementwise and fuses.  jnp.diagonal's backward is a scatter-add into
+    # a fresh [R, M, M] whose layout XLA then copies (~220us/step at the
+    # flagship shape).
+    eye = jnp.eye(M, dtype=Lq.dtype)
+    masked = Lq * eye + (1.0 - eye)
+    logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(masked)))
     constant = jnp.asarray(M * R, dtype=q_mu.dtype)
     return 0.5 * (trace + mahalanobis - constant - logdet_q + logdet_prior)

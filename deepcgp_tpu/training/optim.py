@@ -92,6 +92,40 @@ def _expectation_to_meanvarsqrt(eta1, eta2):
     return eta1, jnp.linalg.cholesky(S)
 
 
+def _phi(X):
+    """tril with halved diagonal — the projection in the Cholesky
+    differential (self-adjoint under the Frobenius inner product)."""
+    return jnp.tril(X) - 0.5 * X * jnp.eye(X.shape[-1], dtype=X.dtype)
+
+
+def _expectation_vjp(mu, W, dmu, dW):
+    """VJP of ``_expectation_to_meanvarsqrt`` at (eta1, eta2), WITHOUT
+    refactorizing: the primal output chol(S) is the known factor ``W``
+    itself (S = W W^T by construction), so the only work is the Cholesky
+    pullback — two batched triangular solves instead of a blocked batched
+    Cholesky (the single most expensive custom-call chain in the NatGrad
+    step; see PARITY.md perf notes).
+
+    Cholesky pullback (Murray 2016; JAX symmetrizes the cotangent):
+        S_bar = sym(W^-T phi(W^T W_bar) W^-1),  phi = tril w/ halved diag,
+        sym(X) = (X + X^T) / 2.
+    Then through S = eta2 - eta1 eta1^T:
+        eta2_bar = S_bar
+        eta1_bar = dmu - 2 S_bar eta1.
+    Equality with ``jax.vjp(_expectation_to_meanvarsqrt, ...)`` is pinned by
+    ``test_training.py::test_expectation_vjp_matches_autodiff``.
+    """
+    P = _phi(jnp.matmul(jnp.swapaxes(W, -1, -2), dW))
+    # W^-T P W^-1 via two triangular solves.
+    X = lax.linalg.triangular_solve(W, P, left_side=True, lower=True,
+                                    transpose_a=True)        # W^-T P
+    S_bar = lax.linalg.triangular_solve(W, X, left_side=False, lower=True,
+                                        transpose_a=False)   # ... W^-1
+    S_bar = 0.5 * (S_bar + jnp.swapaxes(S_bar, -1, -2))
+    eta1_bar = dmu - 2.0 * jnp.einsum('rmn,rn->rm', S_bar, mu)
+    return eta1_bar, S_bar
+
+
 def _meanvarsqrt_to_expectation(mu, W):
     S = jnp.matmul(W, jnp.swapaxes(W, -1, -2))
     return mu, S + mu[:, :, None] * mu[:, None, :]
@@ -108,14 +142,27 @@ def _meanvarsqrt_to_natural(mu, W):
 
 
 def _natural_to_meanvarsqrt(theta1, theta2):
+    """(theta1, theta2) -> (mu = S theta1, W = chol(S)) with S = P^-1,
+    P = -2 theta2.
+
+    chol(P^-1) is obtained directly from ONE factorization via the exchange
+    identity: with J the index-reversal and Lf = chol(J P J),
+        P^-1 = (J Lf^-T J)(J Lf^-T J)^T  and  J Lf^-T J is lower-triangular
+    with positive diagonal — i.e. W = J Lf^-T J IS the Cholesky factor of S.
+    The naive route (chol(P), invert, re-chol(S)) costs two blocked batched
+    Choleskys; this costs one plus a triangular inverse, and batched
+    factorizations are the latency wall of the NatGrad step.
+    """
     P = -2.0 * theta2                       # = S^-1
-    Lp = jnp.linalg.cholesky(P)
+    Pf = P[..., ::-1, ::-1]                 # J P J
+    Lf = jnp.linalg.cholesky(Pf)
     M = P.shape[-1]
     I = jnp.broadcast_to(jnp.eye(M, dtype=P.dtype), P.shape)
-    Lpinv = lax.linalg.triangular_solve(Lp, I, left_side=True, lower=True)
-    S = jnp.matmul(jnp.swapaxes(Lpinv, -1, -2), Lpinv)
+    Lfinv = lax.linalg.triangular_solve(Lf, I, left_side=True, lower=True)
+    W = jnp.swapaxes(Lfinv, -1, -2)[..., ::-1, ::-1]   # J Lf^-T J, lower
+    S = jnp.matmul(W, jnp.swapaxes(W, -1, -2))
     mu = jnp.einsum('rmn,rn->rm', S, theta1)
-    return mu, jnp.linalg.cholesky(S)
+    return mu, W
 
 
 def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
@@ -132,9 +179,9 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
     dW = jnp.tril(dq_sqrt)
 
     eta1, eta2 = _meanvarsqrt_to_expectation(mu, W)
-    # dL/deta via VJP through eta -> (mu, W).
-    _, vjp_fn = jax.vjp(_expectation_to_meanvarsqrt, eta1, eta2)
-    deta1, deta2 = vjp_fn((dmu, dW))
+    # dL/deta: VJP through eta -> (mu, chol(S)).  chol(S) == W by
+    # construction, so the pullback runs chol-free (_expectation_vjp).
+    deta1, deta2 = _expectation_vjp(mu, W, dmu, dW)
 
     theta1, theta2 = _meanvarsqrt_to_natural(mu, W)
     theta1 = theta1 - gamma * deta1
@@ -148,11 +195,40 @@ def natgrad_step_with_backoff(layers: tuple, grads_layers: tuple, gamma,
                               steps_back):
     """Apply natgrad to every layer's (q_mu, q_sqrt); on any non-finite
     result, keep ALL old values and bump ``steps_back``
-    (the jit-friendly equivalent of `conv_gp/experiment.py:38-49`)."""
-    proposals = []
-    for layer, g in zip(layers, grads_layers):
-        proposals.append(natgrad_update(layer.q_mu, layer.q_sqrt,
-                                        g.q_mu, g.q_sqrt, gamma))
+    (the jit-friendly equivalent of `conv_gp/experiment.py:38-49`).
+
+    Layers with the same (M, R) are STACKED along the GP axis and updated
+    by one batched ``natgrad_update`` call: the update is independent per
+    GP, and the batched Choleskys/solves it runs are latency-bound on TPU,
+    so two M=384 layers cost barely more than one (the flagship config has
+    two identical-(M, R) layers — this halves the factorization count)."""
+    groups = {}  # (q_mu.shape, q_sqrt.shape) -> list of layer indices
+    for i, layer in enumerate(layers):
+        groups.setdefault(
+            (layer.q_mu.shape, layer.q_sqrt.shape), []).append(i)
+
+    proposals = [None] * len(layers)
+    for key, idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            proposals[i] = natgrad_update(
+                layers[i].q_mu, layers[i].q_sqrt,
+                grads_layers[i].q_mu, grads_layers[i].q_sqrt, gamma)
+        else:
+            q_mu = jnp.concatenate([layers[i].q_mu for i in idxs], axis=1)
+            q_sqrt = jnp.concatenate([layers[i].q_sqrt for i in idxs],
+                                     axis=0)
+            dmu = jnp.concatenate([grads_layers[i].q_mu for i in idxs],
+                                  axis=1)
+            dsq = jnp.concatenate([grads_layers[i].q_sqrt for i in idxs],
+                                  axis=0)
+            mu_new, W_new = natgrad_update(q_mu, q_sqrt, dmu, dsq, gamma)
+            off = 0
+            for i in idxs:
+                r = layers[i].q_mu.shape[1]
+                proposals[i] = (mu_new[:, off:off + r],
+                                W_new[off:off + r])
+                off += r
 
     finite = jnp.asarray(True)
     for mu_new, W_new in proposals:

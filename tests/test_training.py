@@ -40,6 +40,91 @@ def test_gamma_schedule_matches_reference_formula():
     assert float(g) == 1.0
 
 
+def test_expectation_vjp_matches_autodiff():
+    """The hand-written chol-free pullback of eta -> (mu, chol(S)) must
+    equal jax.vjp through the factorizing version (it exists purely to skip
+    the batched Cholesky recomputation — optim.py:_expectation_vjp)."""
+    rng = np.random.RandomState(0)
+    R, M = 3, 6
+    A = rng.randn(R, M, M)
+    S = A @ np.swapaxes(A, -1, -2) + 4.0 * np.eye(M)
+    W = np.linalg.cholesky(S)
+    mu = rng.randn(R, M)
+    eta1 = jnp.asarray(mu)
+    eta2 = jnp.asarray(S + mu[:, :, None] * mu[:, None, :])
+    dmu = jnp.asarray(rng.randn(R, M))
+    dW = jnp.asarray(np.tril(rng.randn(R, M, M)))
+
+    _, vjp_fn = jax.vjp(optim._expectation_to_meanvarsqrt, eta1, eta2)
+    ref1, ref2 = vjp_fn((dmu, dW))
+    got1, got2 = optim._expectation_vjp(jnp.asarray(mu), jnp.asarray(W),
+                                        dmu, dW)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_natural_to_meanvarsqrt_flip_identity():
+    """The exchange-trick chol(P^-1) equals the naive
+    chol(P) -> invert -> re-chol route (one factorization instead of two)."""
+    rng = np.random.RandomState(1)
+    R, M = 4, 9
+    A = rng.randn(R, M, M)
+    P = A @ np.swapaxes(A, -1, -2) + 3.0 * np.eye(M)
+    theta1 = jnp.asarray(rng.randn(R, M))
+    theta2 = jnp.asarray(-0.5 * P)
+    mu, W = optim._natural_to_meanvarsqrt(theta1, theta2)
+    S = np.linalg.inv(P)
+    np.testing.assert_allclose(np.asarray(W), np.linalg.cholesky(S),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(mu),
+                               np.einsum('rmn,rn->rm', S,
+                                         np.asarray(theta1)),
+                               rtol=1e-8, atol=1e-10)
+    # Lower-triangular with positive diagonal (a genuine Cholesky factor).
+    assert np.allclose(np.asarray(W), np.tril(np.asarray(W)))
+    assert (np.asarray(W).diagonal(axis1=-2, axis2=-1) > 0).all()
+
+
+def test_natgrad_layer_stacking_matches_per_layer():
+    """Same-(M, R) layers are updated in ONE stacked natgrad call; the
+    result must equal per-layer updates exactly (the update is independent
+    per GP column)."""
+
+    class FakeLayer:
+        def __init__(self, q_mu, q_sqrt):
+            self.q_mu, self.q_sqrt = q_mu, q_sqrt
+
+        def replace(self, q_mu, q_sqrt):
+            return FakeLayer(q_mu, q_sqrt)
+
+    rng = np.random.RandomState(2)
+    M, R = 7, 3
+    layers, grads = [], []
+    for _ in range(2):
+        A = rng.randn(R, M, M)
+        W = np.linalg.cholesky(A @ np.swapaxes(A, -1, -2) + 3 * np.eye(M))
+        layers.append(FakeLayer(jnp.asarray(rng.randn(M, R)),
+                                jnp.asarray(W)))
+        grads.append(FakeLayer(jnp.asarray(0.01 * rng.randn(M, R)),
+                               jnp.asarray(0.01 * np.tril(
+                                   rng.randn(R, M, M)))))
+    gamma = jnp.asarray(0.1)
+    sb = jnp.asarray(0.0)
+
+    stacked, _, ok = optim.natgrad_step_with_backoff(
+        tuple(layers), tuple(grads), gamma, sb)
+    assert bool(ok)
+    for layer, g, got in zip(layers, grads, stacked):
+        mu_ref, W_ref = optim.natgrad_update(layer.q_mu, layer.q_sqrt,
+                                             g.q_mu, g.q_sqrt, gamma)
+        np.testing.assert_allclose(np.asarray(got.q_mu), np.asarray(mu_ref),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(got.q_sqrt), np.asarray(W_ref),
+                                   rtol=1e-9, atol=1e-11)
+
+
 def _gaussian_svgp(N=20, M=8, D=3, R=2):
     X = RNG.randn(N, D)
     W = RNG.randn(D, R)
