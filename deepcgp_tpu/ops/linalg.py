@@ -97,7 +97,11 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
         # tr(K^-1 S_r) = || Lp^-1 Lq_r ||_F^2
         LpiLq = solve_triangular_mrhs(Lp, Lq, lower=True)  # [R, M, M]
         trace = jnp.sum(jnp.square(LpiLq))
-        logdet_prior = R * 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Lp))))
+        # Masked elementwise log (see logdet_q below): jnp.diagonal's
+        # backward is a scatter-add into a fresh [M, M].
+        eye_p = jnp.eye(M, dtype=Lp.dtype)
+        logdet_prior = R * 2.0 * jnp.sum(jnp.log(jnp.abs(
+            Lp * eye_p + (1.0 - eye_p))))
 
     mahalanobis = jnp.sum(jnp.square(alpha))
     # logdet via a masked elementwise log: off-diagonal entries are replaced

@@ -120,20 +120,28 @@ def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
         model0, exclude_variational=(config.optimizer == 'NatGrad'))
     grads = optim.apply_mask(grads, mask)
 
+    # Numerical-failure guard (the jit-friendly form of the reference's
+    # cholesky-failure retry, `conv_gp/experiment.py:38-49`): a step whose
+    # loss, gradients, or NatGrad proposal is non-finite is not committed
+    # — parameters and optimizer moments stay intact — and in NatGrad mode
+    # ``steps_back`` is bumped so the gamma schedule retries smaller.  The
+    # failure stays visible as a NaN in the returned ELBO trace.
+    #
+    # ``ok`` is derived from the MASKED GRADS, not the Adam updates: with
+    # finite moments (inductively guaranteed — non-finite grads are never
+    # committed), updates are finite iff grads are, so the commit decision
+    # is identical — but computing it upstream of the optimizer breaks the
+    # update -> check -> select dependency cycle that otherwise forces XLA
+    # to materialize both moment trees and re-read them for the is-finite
+    # pass (~0.6ms/step at M=1024).
+    ok = jnp.logical_and(jnp.logical_and(loss_ok, ng_ok),
+                         _all_finite(loss, grads))
+
     if config.optimizer == 'SGD':
         updates = grads
         new_opt_state = state.opt_state
     else:
         updates, new_opt_state = _adam_core().update(grads, state.opt_state)
-
-    # Numerical-failure guard (the jit-friendly form of the reference's
-    # cholesky-failure retry, `conv_gp/experiment.py:38-49`): a step whose
-    # loss, Adam updates, or NatGrad proposal is non-finite is not committed
-    # — parameters and optimizer moments stay intact — and in NatGrad mode
-    # ``steps_back`` is bumped so the gamma schedule retries smaller.  The
-    # failure stays visible as a NaN in the returned ELBO trace.
-    ok = jnp.logical_and(jnp.logical_and(loss_ok, ng_ok),
-                         _all_finite(loss, updates))
 
     new_model = jax.tree_util.tree_map(
         lambda p, u: p - lr.astype(p.dtype) * u, model_ng, updates)
@@ -165,12 +173,27 @@ def run_chunk(state: TrainState, config: TrainConfig, X_train, Y_train,
     Minibatches are uniform random with replacement (gpflow Minibatch
     semantics).  Returns (state, elbo trace [num_steps])."""
     N = X_train.shape[0]
+    # TPU row gathers are serial per-index DMAs (~2.5us each — 0.3ms/step
+    # at batch 128).  For small resident sets a one-hot matmul selection is
+    # faster AND bitwise identical (one-hot rows are exact in every matmul
+    # pass; pinned by test_training.py::test_onehot_gather_bitwise).  The
+    # matmul costs 2*B*N*D flops, so past ~8M table elements (e.g. full
+    # 60k-row MNIST) the gather wins again.
+    use_onehot = N * X_train.shape[1] <= 8_000_000
+
+    def _rows(table, idx):
+        if use_onehot:
+            oh = jax.nn.one_hot(idx, N, dtype=X_train.dtype)
+            return lax.dot_general(
+                oh, table.astype(X_train.dtype), (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST).astype(table.dtype)
+        return jnp.take(table, idx, axis=0)
 
     def body(state, _):
         key, kb = jax.random.split(state.key)
         idx = jax.random.randint(kb, (config.batch_size,), 0, N)
-        xb = jnp.take(X_train, idx, axis=0)
-        yb = jnp.take(Y_train, idx, axis=0)
+        xb = _rows(X_train, idx)
+        yb = _rows(Y_train, idx)
         state, elbo = train_step(state.replace(key=key), config, xb, yb)
         return state, elbo
 

@@ -40,6 +40,27 @@ def test_gamma_schedule_matches_reference_formula():
     assert float(g) == 1.0
 
 
+def test_onehot_gather_bitwise():
+    """run_chunk's one-hot minibatch selection must be bitwise identical to
+    jnp.take (one-hot rows are exact in every matmul precision; labels
+    round-trip exactly through float)."""
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(256, 33).astype(np.float32))
+    Y = jnp.asarray(rng.randint(0, 10, size=(256, 1)))
+    idx = jnp.asarray(rng.randint(0, 256, 16))
+    oh = jax.nn.one_hot(idx, 256, dtype=X.dtype)
+    got = jax.lax.dot_general(oh, X, (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(jnp.take(X, idx, axis=0)))
+    gotY = jax.lax.dot_general(oh, Y.astype(X.dtype),
+                               (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST
+                               ).astype(Y.dtype)
+    np.testing.assert_array_equal(np.asarray(gotY),
+                                  np.asarray(jnp.take(Y, idx, axis=0)))
+
+
 def test_expectation_vjp_matches_autodiff():
     """The hand-written chol-free pullback of eta -> (mu, chol(S)) must
     equal jax.vjp through the factorizing version (it exists purely to skip
