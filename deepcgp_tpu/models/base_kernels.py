@@ -106,11 +106,12 @@ class ArcCosine:
     def bias_variance(self) -> jax.Array:
         return positive_forward(self.raw_bias_variance)
 
-    def _weighted_product(self, X, X2=None):
+    def _weighted_product(self, X, X2=None, precision=None):
         w = self.weight_variances
         if X2 is None:
             return jnp.sum(w * jnp.square(X), axis=-1) + self.bias_variance
-        return jnp.matmul(w * X, jnp.swapaxes(X2, -1, -2)) + self.bias_variance
+        return jnp.matmul(w * X, jnp.swapaxes(X2, -1, -2),
+                          precision=precision) + self.bias_variance
 
     def _J(self, theta):
         if self.order == 0:
@@ -124,7 +125,10 @@ class ArcCosine:
     def K(self, X: jax.Array, X2: jax.Array | None = None) -> jax.Array:
         denom_X = jnp.sqrt(self._weighted_product(X))
         if X2 is None:
-            numerator = self._weighted_product(X, X)
+            # Self-gram headed for a Cholesky: exact-f32 matmul passes
+            # (see ops/distances.py::square_distance for the rationale).
+            numerator = self._weighted_product(
+                X, X, precision=jax.lax.Precision.HIGHEST)
             denom_X2 = denom_X
         else:
             numerator = self._weighted_product(X, X2)

@@ -114,8 +114,13 @@ class AdditivePatchKernel:
 
     def K(self, ND_X: jax.Array, ND_X2: jax.Array | None = None) -> jax.Array:
         P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)           # [P, N, L]
-        P2 = P1 if ND_X2 is None else jnp.swapaxes(self._patches(ND_X2), 0, 1)
-        PNN = self.base_kernel.K(P1, P2)                        # [P, N, N2]
+        if ND_X2 is None:
+            # Keep the self-gram as X2=None so the base kernel uses its
+            # exact-f32 gram path (the result can feed a sampling Cholesky).
+            PNN = self.base_kernel.K(P1)                        # [P, N, N]
+        else:
+            P2 = jnp.swapaxes(self._patches(ND_X2), 0, 1)
+            PNN = self.base_kernel.K(P1, P2)                    # [P, N, N2]
         PNN = PNN * self.patch_weights[:, None, None]
         return jnp.mean(PNN, axis=0)
 
@@ -169,8 +174,11 @@ class ConvKernel(AdditivePatchKernel):
         pc = self.view.patch_count
         L = self.view.patch_length
         p1 = self._patches(ND_X).reshape(-1, L)                 # [N*P, L]
-        p2 = p1 if ND_X2 is None else self._patches(ND_X2).reshape(-1, L)
-        Kfull = self.base_kernel.K(p1, p2)
+        if ND_X2 is None:
+            Kfull = self.base_kernel.K(p1)      # exact-f32 self-gram path
+        else:
+            Kfull = self.base_kernel.K(
+                p1, self._patches(ND_X2).reshape(-1, L))
         N1 = ND_X.shape[0]
         N2 = N1 if ND_X2 is None else ND_X2.shape[0]
         Kfull = Kfull.reshape(N1, pc, N2, pc)
@@ -183,7 +191,10 @@ class ConvKernel(AdditivePatchKernel):
         # Pairwise distances among one extraction's patches are invariant
         # to the within-patch element order -> any-order extraction is safe.
         patches = self._patches_any_order(ND_X)                  # [N, P, L]
-        NPP = self.base_kernel.K(patches)                        # [N, P, P]
+        # Explicit X2: this gram is only weighted-summed into Kdiag — it is
+        # never factorized — so it keeps the fast default-precision matmul
+        # (the X2=None path requests exact-f32 for Cholesky-bound grams).
+        NPP = self.base_kernel.K(patches, patches)               # [N, P, P]
         w = self.patch_weights
         W = w[:, None] * w[None, :]
         return jnp.sum(NPP * W, axis=(1, 2)) / (pc ** 2)

@@ -17,10 +17,20 @@ def square_distance(X: jax.Array, X2: jax.Array | None = None) -> jax.Array:
 
     Uses the expanded form Xs - 2 X X2^T + X2s (one MXU matmul), clamped at
     zero for f32 safety (the reference runs f64 and skips the clamp).
+
+    SELF-grams (X2 is None) run the matmul at Precision.HIGHEST: they become
+    Kuu/Kff matrices whose Choleskys must stay positive definite, and the
+    TPU's default single-pass-bf16 f32 matmul carries ~0.4% relative error —
+    enough to swamp the 1e-3 jitter and NaN the factorization whenever the
+    gram is ill-conditioned (observed: dense 1-D inducing points in the
+    regression example; Kuu is O(M^2 D) flops, so the exact passes are
+    free).  Cross-covariances keep the fast default: they never get
+    factorized, and they are where the step's FLOPs live.
     """
     Xs = jnp.sum(jnp.square(X), axis=-1)
     if X2 is None:
-        cross = jnp.matmul(X, jnp.swapaxes(X, -1, -2))
+        cross = jnp.matmul(X, jnp.swapaxes(X, -1, -2),
+                           precision=jax.lax.Precision.HIGHEST)
         X2s = Xs
     else:
         cross = jnp.matmul(X, jnp.swapaxes(X2, -1, -2))

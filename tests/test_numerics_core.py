@@ -152,3 +152,21 @@ def test_random_partial_view():
     v_again = RandomPartialView(input_size=(28, 28), filter_size=3,
                                 feature_maps=1, patch_count=5, seed=0)
     assert v_again.patch_indices == v.patch_indices
+
+
+def test_self_gram_uses_exact_precision():
+    """Self-grams (X2=None) must request Precision.HIGHEST — the TPU's
+    default single-pass-bf16 f32 matmul carries enough error to un-PSD an
+    ill-conditioned Kuu past the 1e-3 jitter (NaN Cholesky at init,
+    observed in examples/regression.py).  Cross-covariances keep the fast
+    default."""
+    import jax
+    import jax.numpy as jnp
+    from deepcgp_tpu.ops.distances import square_distance
+
+    X = jnp.zeros((4, 3))
+    self_jaxpr = str(jax.make_jaxpr(lambda x: square_distance(x))(X))
+    cross_jaxpr = str(jax.make_jaxpr(
+        lambda x: square_distance(x, x + 1.0))(X))
+    assert 'HIGHEST' in self_jaxpr
+    assert 'HIGHEST' not in cross_jaxpr
