@@ -116,11 +116,14 @@ def _expectation_vjp(mu, W, dmu, dW):
     ``test_training.py::test_expectation_vjp_matches_autodiff``.
     """
     P = _phi(jnp.matmul(jnp.swapaxes(W, -1, -2), dW))
-    # W^-T P W^-1 via two triangular solves.
+    # W^-T P W^-1 via two BACKWARD-STABLE triangular solves.  (An
+    # inverse-based matmul sandwich reusing the explicit W^-1 was tried for
+    # speed — batched solves are latency-bound — but it degraded f32
+    # NatGrad training: the 15k-step flagship soak diverged to a degenerate
+    # state, train accuracy 1.0 -> 0.10.  The solves stay.)
     X = lax.linalg.triangular_solve(W, P, left_side=True, lower=True,
                                     transpose_a=True)        # W^-T P
-    S_bar = lax.linalg.triangular_solve(W, X, left_side=False, lower=True,
-                                        transpose_a=False)   # ... W^-1
+    S_bar = lax.linalg.triangular_solve(W, X, left_side=False, lower=True)
     S_bar = 0.5 * (S_bar + jnp.swapaxes(S_bar, -1, -2))
     eta1_bar = dmu - 2.0 * jnp.einsum('rmn,rn->rm', S_bar, mu)
     return eta1_bar, S_bar
@@ -178,7 +181,6 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
     dmu = dq_mu.T
     dW = jnp.tril(dq_sqrt)
 
-    eta1, eta2 = _meanvarsqrt_to_expectation(mu, W)
     # dL/deta: VJP through eta -> (mu, chol(S)).  chol(S) == W by
     # construction, so the pullback runs chol-free (_expectation_vjp).
     deta1, deta2 = _expectation_vjp(mu, W, dmu, dW)
