@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from deepcgp_tpu.config import settings
 from deepcgp_tpu.ops import linalg
 
 

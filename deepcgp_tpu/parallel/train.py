@@ -62,6 +62,28 @@ def make_sharded_eval_fn(mesh, batch_size: int = 32, num_samples: int = 5):
     return jax.jit(_eval, static_argnums=())
 
 
+def make_sharded_accuracy_fn(mesh, batch_size: int = 32,
+                             num_samples: int = 5):
+    """Jitted whole-set test ACCURACY under ``mesh``: like
+    :func:`make_sharded_eval_fn` but reduces to the replicated scalar
+    inside the program, so it works multi-process (per-host probability
+    shards never need host assembly — only the scalar leaves the mesh).
+
+    Returns ``acc_fn(model, X, Y, key) -> correct-prediction COUNT`` (an
+    on-device replicated integer scalar); X/Y should be global arrays
+    (multihost.host_local_to_global under multi-host); divide by the
+    global Y.size host-side.
+    """
+
+    def _acc(model, X, Y, key):
+        with mesh_context(mesh):
+            probs = trainer.predict_probs_scanned.__wrapped__(
+                model, X, key, batch_size, num_samples)
+            return trainer.correct_count_from_probs(probs, Y)
+
+    return jax.jit(_acc)
+
+
 def dryrun_multichip(n_devices: int, *, model_axis: int | None = None,
                      dtype=jnp.float32,
                      optimizers: tuple = ('Adam', 'NatGrad')) -> None:

@@ -47,6 +47,12 @@ def default_parser() -> argparse.ArgumentParser:
                         help="Device mesh spec, e.g. 'data=4' or "
                              "'data=4,model=2'; empty = single device.")
     parser.add_argument('--no-tensorboard', action='store_true')
+    parser.add_argument('--lr-decay-continuous', action='store_true',
+                        help="Continuous (non-staircase) exponential lr "
+                             "decay — the schedule the reference's "
+                             "committed result artifacts were trained "
+                             "with; its current source uses staircase "
+                             "(the default here).")
     parser.add_argument('--distributed', action='store_true',
                         help="Multi-host SPMD: call jax.distributed."
                              "initialize() (coordinator/rank from the usual "

@@ -112,7 +112,9 @@ class Experiment:
         self.config = TrainConfig(
             optimizer=self.flags.optimizer, lr=self.flags.lr,
             lr_decay_steps=self.flags.lr_decay_steps,
-            gamma=self.flags.gamma, batch_size=self.flags.batch_size)
+            gamma=self.flags.gamma, batch_size=self.flags.batch_size,
+            lr_staircase=not getattr(self.flags, 'lr_decay_continuous',
+                                     False))
         key = jax.random.PRNGKey(self.flags.seed + 1)
         self.state = trainer.init_state(self.model, self.config, key,
                                         global_step=self.initial_step)
@@ -124,14 +126,14 @@ class Experiment:
         self._sharded_eval = None
         if getattr(self.flags, 'mesh', ''):
             from deepcgp_tpu.parallel import mesh as mesh_lib
-            from deepcgp_tpu.parallel.train import (make_sharded_eval_fn,
+            from deepcgp_tpu.parallel.train import (make_sharded_accuracy_fn,
                                                     make_sharded_train_fns)
             self.mesh = mesh_lib.make_mesh(self.flags.mesh)
             _, self._sharded_chunk = make_sharded_train_fns(self.mesh,
                                                             self.config)
-            self._sharded_eval = make_sharded_eval_fn(self.mesh,
-                                                      batch_size=32,
-                                                      num_samples=5)
+            self._sharded_eval = make_sharded_accuracy_fn(self.mesh,
+                                                          batch_size=32,
+                                                          num_samples=5)
         # Preemption resume: restore the full state (incl. optimizer
         # moments, unlike the reference's .npy path) when present.
         if getattr(self.flags, 'full_state_ckpt', False) and \
@@ -190,7 +192,8 @@ class Experiment:
     def learning_rate(self) -> float:
         from deepcgp_tpu.training.optim import learning_rate_schedule
         return float(learning_rate_schedule(
-            self.flags.lr, self.flags.lr_decay_steps)(self.state.step))
+            self.flags.lr, self.flags.lr_decay_steps,
+            staircase=self.config.lr_staircase)(self.state.step))
 
     def test_accuracy(self) -> float:
         X = self.X_test.reshape(self.X_test.shape[0], -1)
@@ -198,12 +201,17 @@ class Experiment:
         if self._sharded_eval is not None:
             # Eval rides the mesh too: test-batch rows over 'data', patch
             # axis over 'model' (same PRNG path as the single-device eval).
+            # Inputs go through the multihost path (identity single-host)
+            # and only the replicated accuracy SCALAR leaves the mesh, so
+            # this works unchanged at process_count > 1.
             import numpy as np
-            probs = np.asarray(self._sharded_eval(
-                self.state.model, jnp.asarray(X), key))
-            return float(
-                (probs.argmax(axis=1)[:, None] == np.asarray(self.Y_test))
-                .sum() / self.Y_test.size)
+            from deepcgp_tpu.parallel import multihost
+            Xg, Yg = multihost.host_local_to_global(
+                self.mesh,
+                multihost.process_shard(np.asarray(X)),
+                multihost.process_shard(np.asarray(self.Y_test)))
+            count = self._sharded_eval(self.state.model, Xg, Yg, key)
+            return float(count) / self.Y_test.size
         return float(trainer.accuracy(
             self.state.model, X, self.Y_test, key,
             batch_size=32, num_samples=5))

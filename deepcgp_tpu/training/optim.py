@@ -36,10 +36,19 @@ from jax import lax
 # ----------------------------------------------------------------- schedules
 
 
-def learning_rate_schedule(lr: float, lr_decay_steps: int):
+def learning_rate_schedule(lr: float, lr_decay_steps: int,
+                           staircase: bool = True):
+    """x0.1 exponential decay every ``lr_decay_steps``.
+
+    ``staircase=True`` matches the reference's CURRENT source
+    (`conv_gp/experiment.py:71-73`).  Its committed result artifacts were
+    produced by an earlier code state with CONTINUOUS decay (every
+    results/*/log.csv lr column is 0.01*0.1^(t/decay_steps), not a
+    staircase) — ``staircase=False`` reproduces those runs exactly
+    (--lr-decay-continuous, used by examples/mnist_parity.py)."""
     return optax.exponential_decay(init_value=lr,
                                    transition_steps=lr_decay_steps,
-                                   decay_rate=0.1, staircase=True)
+                                   decay_rate=0.1, staircase=staircase)
 
 
 def gamma_schedule(step, steps_back, gamma0: float):

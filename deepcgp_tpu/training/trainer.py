@@ -59,6 +59,9 @@ class TrainConfig:
     lr_decay_steps: int = struct.field(pytree_node=False, default=100000)
     gamma: float = struct.field(pytree_node=False, default=0.001)
     batch_size: int = struct.field(pytree_node=False, default=32)
+    # True = the reference's current source; False = the continuous decay
+    # its committed result artifacts were trained with (optim.py).
+    lr_staircase: bool = struct.field(pytree_node=False, default=True)
 
 
 def _adam_core():
@@ -97,8 +100,9 @@ def _all_finite(value, tree) -> jax.Array:
 def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
     """One optimizer iteration; returns (new_state, elbo_value)."""
     model0 = state.model
-    lr = optim.learning_rate_schedule(config.lr, config.lr_decay_steps)(
-        state.step)
+    lr = optim.learning_rate_schedule(
+        config.lr, config.lr_decay_steps,
+        staircase=config.lr_staircase)(state.step)
     steps_back = state.steps_back
 
     key, k_mc = jax.random.split(state.key)
@@ -197,7 +201,24 @@ def run_chunk(state: TrainState, config: TrainConfig, X_train, Y_train,
         state, elbo = train_step(state.replace(key=key), config, xb, yb)
         return state, elbo
 
-    return lax.scan(body, state, length=num_steps)
+    state, elbos = lax.scan(body, state, length=num_steps)
+
+    if config.optimizer == 'NatGrad':
+        # Terminal verification: the deferred NatGrad check means the LAST
+        # committed proposal is still unverified when the chunk returns —
+        # without this, a finite-but-poisonous final step would reach eval
+        # and the persisted .npy snapshot (and on the run's last chunk it
+        # would never be rolled back at all).  One extra ELBO evaluation
+        # per chunk; non-finite -> roll back to the last verified params.
+        key, kb, k_mc = jax.random.split(state.key, 3)
+        idx = jax.random.randint(kb, (config.batch_size,), 0, N)
+        loss = -state.model.elbo(_rows(X_train, idx), _rows(Y_train, idx),
+                                 k_mc)
+        ok = jnp.isfinite(loss)
+        state = state.replace(
+            model=_where_tree(ok, state.model, state.prev_model), key=key)
+
+    return state, elbos
 
 
 # --------------------------------------------------------------- evaluation
@@ -235,13 +256,22 @@ def predict_probs_scanned(model, X, key, batch_size: int = 32,
     return probs.reshape(n_batches * batch_size, -1)[:N]
 
 
+def correct_count_from_probs(probs, Y) -> jax.Array:
+    """Count of argmax predictions matching labels Y [N, 1] — the single
+    definition shared by the host-side and mesh-sharded accuracy paths
+    (`conv_gp/utils/log.py:50-68` semantics).  Returns the integer COUNT
+    (an on-device replicated scalar, so it crosses process boundaries);
+    callers divide by Y.size in host float64 for a clean fraction."""
+    pred = jnp.argmax(probs, axis=1)[:, None]
+    return jnp.sum(pred == Y)
+
+
 def accuracy(model, X_test, Y_test, key, batch_size: int = 32,
              num_samples: int = 5) -> float:
     """Batched test accuracy (`conv_gp/utils/log.py:50-68`): mean class
     probability over ``num_samples`` MC draws per batch of ``batch_size``,
     argmax, fraction correct — evaluated on device in one scanned program."""
-    import numpy as np
-    probs = np.asarray(predict_probs_scanned(
-        model, jnp.asarray(X_test), key, batch_size, num_samples))
-    return float((probs.argmax(axis=1)[:, None] == np.asarray(Y_test)).sum()
-                 / Y_test.size)
+    probs = predict_probs_scanned(
+        model, jnp.asarray(X_test), key, batch_size, num_samples)
+    count = correct_count_from_probs(probs, jnp.asarray(Y_test))
+    return float(count) / Y_test.size

@@ -119,6 +119,14 @@ def parse_layer_parameters(parameters: dict, model_layers: int):
         # (disjoint), but both must follow 'weight_variances'/'bias_variance'.
         elif 'lengthscales' in path:
             values['lengthscales'] = value
+        # Bare-ArcCosine keys must not fall through to the bare 'variance'
+        # branch below ('variance' is a substring of both) — that would
+        # last-write-wins corrupt values['variance'] and silently drop the
+        # ArcCosine hyperparameters.
+        elif 'weight_variances' in path:
+            values['weight_variances'] = value
+        elif 'bias_variance' in path:
+            values['bias_variance'] = value
         elif 'variance' in path:
             values['variance'] = value
 
@@ -183,12 +191,26 @@ def latest_train_state_step(directory: str) -> int | None:
 
 def restore_train_state(directory: str, abstract_state):
     """Restore the newest full TrainState; ``abstract_state`` is a template
-    with the right structure/shapes/dtypes (e.g. a freshly built state)."""
+    with the right structure/shapes/dtypes (e.g. a freshly built state).
+
+    Migration: snapshots written before ``TrainState.prev_model`` existed
+    (the NatGrad deferred-verification rollback target) have no
+    'prev_model' subtree.  Restoring against a template WITHOUT it and
+    seeding prev_model from the restored model preserves resumability of
+    old checkpoints — the restored parameters were loss-verified when
+    saved, which is exactly what prev_model asserts."""
     import orbax.checkpoint as ocp
     directory = os.path.abspath(directory)
     step = latest_train_state_step(directory)
     if step is None:
         raise FileNotFoundError(f"no state_* checkpoints under {directory}")
+    path = os.path.join(directory, f'state_{step}')
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.join(directory, f'state_{step}'),
-                             abstract_state)
+        try:
+            return ckptr.restore(path, abstract_state)
+        except Exception:
+            if abstract_state.prev_model == ():
+                raise
+            legacy = ckptr.restore(path,
+                                   abstract_state.replace(prev_model=()))
+            return legacy.replace(prev_model=legacy.model)

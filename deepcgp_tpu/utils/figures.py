@@ -99,10 +99,13 @@ def _close(fig):
 
 def render_run_figures(run_dir: str, model, NHWC_X_train, X_test, Y_test,
                        key, noise_levels=(0.0, 0.25, 0.5, 1.0),
-                       max_eval_points: int = 512) -> list:
+                       max_eval_points: int = 512,
+                       accuracies: dict | None = None) -> list:
     """Render every applicable figure for a trained model into ``run_dir``;
     returns the list of written paths.  The plain-RBF last layer has no
-    patch view, so patch figures cover the conv layers only."""
+    patch view, so patch figures cover the conv layers only.
+    ``accuracies`` optionally supplies a precomputed noise-robustness sweep
+    (callers that already ran it skip the duplicate evaluation)."""
     from deepcgp_tpu.utils import inspect as insp
     paths = []
     for i, layer in enumerate(model.layers):
@@ -116,9 +119,10 @@ def render_run_figures(run_dir: str, model, NHWC_X_train, X_test, Y_test,
             paths.append(render_patch_embedding(
                 layer, NHWC_X_train,
                 os.path.join(run_dir, 'patch_embedding_layer0.png')))
-    accs = insp.noise_robustness(model, X_test, Y_test, key,
-                                 noise_levels=noise_levels,
-                                 max_points=max_eval_points)
+    if accuracies is None:
+        accuracies = insp.noise_robustness(model, X_test, Y_test, key,
+                                           noise_levels=noise_levels,
+                                           max_points=max_eval_points)
     paths.append(render_noise_robustness(
-        accs, os.path.join(run_dir, 'noise_robustness.png')))
+        accuracies, os.path.join(run_dir, 'noise_robustness.png')))
     return paths

@@ -97,10 +97,12 @@ TPU_PEAK_FLOPS = {
 
 
 def device_peak_flops(device) -> float:
+    import re
     kind = getattr(device, 'device_kind', '').lower()
+    # Real device_kind strings spell the litepod variants 'TPU v5 lite' /
+    # 'TPU v6 lite'; normalize to the short 'v5e'/'v6e' aliases first.
+    kind = re.sub(r'v(\d+)\s*lite', r'v\1e', kind)
     for key, peak in TPU_PEAK_FLOPS.items():
         if key in kind:
             return peak
-    if 'v5 lite' in kind or 'v5lite' in kind:
-        return TPU_PEAK_FLOPS['v5e']
     return float('nan')

@@ -52,22 +52,14 @@ def main(run_dir: str) -> None:
         print(f"noise sigma={sigma:.2f}: accuracy {acc:.4f}")
 
     # Rendered figure artifacts (the notebooks' output, as PNGs).
+    # render_run_figures guards per-layer for patch views, so plain-RBF
+    # last-layer models still get their noise-robustness figure.
     from deepcgp_tpu.utils import figures
-    for i, layer in enumerate(model.layers):
-        view = getattr(layer, 'view', None) or \
-            getattr(getattr(layer, 'kernel', None), 'view', None)
-        if view is None:
-            continue
-        p = figures.render_inducing_grid(
-            layer, f"{run_dir}/inducing_grid_layer{i}.png")
+    for p in figures.render_run_figures(run_dir, model, X_train[:500],
+                                        X_test.reshape(len(X_test), -1),
+                                        Y_test, jax.random.PRNGKey(1),
+                                        accuracies=accs):
         print(f"wrote {p}")
-    p = figures.render_patch_embedding(
-        model.layers[0], X_train[:500],
-        f"{run_dir}/patch_embedding_layer0.png")
-    print(f"wrote {p}")
-    p = figures.render_noise_robustness(
-        accs, f"{run_dir}/noise_robustness.png")
-    print(f"wrote {p}")
 
 
 if __name__ == '__main__':

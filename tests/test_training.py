@@ -30,6 +30,16 @@ def test_learning_rate_staircase():
     assert float(sched(300)) == pytest.approx(1e-5)
 
 
+def test_learning_rate_continuous_matches_committed_artifacts():
+    """--lr-decay-continuous reproduces the lr column of the reference's
+    committed result runs exactly (results/N60000_M64/log.csv: continuous
+    0.01*0.1^(t/25000), NOT the staircase of its current source)."""
+    sched = optim.learning_rate_schedule(0.01, 25000, staircase=False)
+    assert float(sched(5000)) == pytest.approx(0.0063095735, rel=1e-5)
+    assert float(sched(10000)) == pytest.approx(0.0039810715, rel=1e-5)
+    assert float(sched(75000)) == pytest.approx(1.0e-05, rel=1e-5)
+
+
 def test_gamma_schedule_matches_reference_formula():
     # min((step/100 * 1e-3 + gamma0) * 0.2^steps_back, 1)
     g = optim.gamma_schedule(jnp.asarray(200), jnp.asarray(0.0), 0.001)
