@@ -31,22 +31,46 @@ class Predictor:
     """Batched, pad-to-shape, jit-cached prediction server."""
 
     def __init__(self, model, *, batch_size: int = 32, num_samples: int = 5,
-                 seed: int = 0, preprocessing: dict | None = None):
+                 seed: int = 0, preprocessing: dict | None = None,
+                 mesh=None):
         self.model = model
         self.batch_size = batch_size
         self.num_samples = num_samples
         # {'mean': [D], 'scale': [D]} applied to raw inputs when set
         # (loaded from the run's preprocessing.npz by from_run_dir).
         self.preprocessing = preprocessing
+        # Optional jax.sharding.Mesh (or a 'data=4,model=2' spec string):
+        # prediction programs are traced under it so request batches shard
+        # over 'data' and the patch axis over 'model' — serving scales over
+        # the same mesh as training (single-chip serving at 8 chips would
+        # leave 7 idle).
+        if isinstance(mesh, str) and mesh:
+            from deepcgp_tpu.parallel import mesh as mesh_lib
+            mesh = mesh_lib.make_mesh(mesh)
+        self.mesh = mesh or None
         self._base_key = jax.random.PRNGKey(seed)
         self._calls = 0
         S = num_samples
 
         def _probs(m, xb, key):
-            probs, _ = m.predict_y(xb, key, S)
-            return jnp.mean(probs, axis=0)
+            with self._mesh_ctx():
+                probs, _ = m.predict_y(xb, key, S)
+                return jnp.mean(probs, axis=0)
 
         self._probs_fn = jax.jit(_probs)
+
+    def _mesh_ctx(self):
+        import contextlib
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        from deepcgp_tpu.parallel.sharding import mesh_context
+        return mesh_context(self.mesh)
+
+    def _to_device(self, xb: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(xb)
+        from deepcgp_tpu.parallel import mesh as mesh_lib
+        return mesh_lib.shard_batch(self.mesh, jnp.asarray(xb))
 
     @classmethod
     def from_run_dir(cls, run_dir: str, X_init: np.ndarray,
@@ -106,7 +130,8 @@ class Predictor:
             if n < B:  # pad to the compiled shape
                 xb = np.concatenate(
                     [xb, np.zeros((B - n, xb.shape[1]), xb.dtype)])
-            probs = self._probs_fn(self.model, jnp.asarray(xb), self._key())
+            probs = self._probs_fn(self.model, self._to_device(xb),
+                                   self._key())
             out[start:start + n] = np.asarray(probs)[:n]
         return out
 
@@ -125,8 +150,12 @@ class Predictor:
             raise ValueError(f"X has {N} rows but Y has {Y.shape[0]} labels")
         if not hasattr(self, '_dens_fn'):
             S = self.num_samples
-            self._dens_fn = jax.jit(
-                lambda m, xb, yb, key: m.predict_density(xb, yb, key, S))
+
+            def _dens(m, xb, yb, key):
+                with self._mesh_ctx():
+                    return m.predict_density(xb, yb, key, S)
+
+            self._dens_fn = jax.jit(_dens)
         out = np.empty((N,), np.float32)
         B = self.batch_size
         for start in range(0, N, B):
@@ -137,7 +166,7 @@ class Predictor:
                 xb = np.concatenate(
                     [xb, np.zeros((B - n, xb.shape[1]), xb.dtype)])
                 yb = np.concatenate([yb, np.zeros((B - n, 1), yb.dtype)])
-            dens = self._dens_fn(self.model, jnp.asarray(xb),
+            dens = self._dens_fn(self.model, self._to_device(xb),
                                  jnp.asarray(yb), self._key())
             out[start:start + n] = np.asarray(dens)[:n, 0]
         return out

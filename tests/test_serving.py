@@ -82,3 +82,33 @@ def test_predictor_raw_inputs_apply_training_scaler(tmp_path):
     pred_no = Predictor(pred.model, batch_size=8, num_samples=2)
     with pytest.raises(ValueError, match='preprocessing'):
         pred_no.predict_proba(raw, raw=True)
+
+
+def test_predictor_mesh_matches_single_device():
+    """A mesh-backed Predictor (batch rows over 'data', patches over
+    'model') returns the same probabilities and log-densities as the
+    single-device one — serving scales over the training mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from deepcgp_tpu.models.builder import BuilderFlags, build_model
+    from deepcgp_tpu.serving import Predictor
+
+    rng = np.random.RandomState(0)
+    flags = BuilderFlags(M='8,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', num_samples=2, batch_size=8)
+    X = rng.randn(32, 12, 12, 1)
+    Y = rng.randint(0, 10, size=(32, 1))
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+
+    Xq = X[:20].reshape(20, -1)
+    ref = Predictor(model, batch_size=8, num_samples=2)
+    sh = Predictor(model, batch_size=8, num_samples=2,
+                   mesh='data=4,model=2')
+    p_ref = ref.predict_proba(Xq)
+    p_sh = sh.predict_proba(Xq)
+    np.testing.assert_allclose(p_sh, p_ref, rtol=1e-6, atol=1e-8)
+    d_ref = ref.log_density(Xq, Y[:20])
+    d_sh = sh.log_density(Xq, Y[:20])
+    np.testing.assert_allclose(d_sh, d_ref, rtol=1e-6, atol=1e-8)
