@@ -160,3 +160,16 @@ def test_mnist_parity_script_refuses_synthetic_data(tmp_path):
         env=env, capture_output=True, text=True, timeout=120)
     assert proc.returncode == 2
     assert 'real MNIST not found' in proc.stderr
+
+
+def test_cifar_parity_script_refuses_synthetic_data(tmp_path):
+    """`make cifar-parity` must never 'pass' on the synthetic fallback:
+    with no real cifar10.npz the script exits 2 before building anything."""
+    import subprocess, sys, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, DEEPCGP_DATA_DIR=str(tmp_path / 'nothing_here'))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, 'examples', 'cifar_parity.py')],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 2
+    assert 'real CIFAR-10 not found' in proc.stderr
