@@ -341,6 +341,79 @@ def learning_rate(lr0, decay_steps, step):
     return lr0 * 0.1 ** (step // decay_steps)
 
 
+# -------------------------------------------------------- natural gradient
+# Literal transcription of gpflow's NatGradOptimizer with the default XiNat
+# transform (Salimbeni, Eleftheriadis & Hensman 2018, eq. 10-12), per
+# independent GP with EXPLICIT inverses — textbook form, deliberately
+# structurally different from the library's batched solve-based
+# implementation (training/optim.py) so agreement is evidence, not
+# tautology.
+
+
+def gamma_schedule(step, gamma0):
+    """min((step/100 * 1e-3 + gamma0), 1) — `conv_gp/experiment.py:74-80`
+    with steps_back = 0 (no failures on these smooth parity problems)."""
+    return min(step / 100.0 * 1e-3 + gamma0, 1.0)
+
+
+def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
+    """One XiNat step for all R GPs of a layer (columns of q_mu [M, R],
+    slices of q_sqrt [R, M, M]); loss gradients dq_* in the same layout."""
+    M, R = q_mu.shape
+    new_mu = []
+    new_W = []
+    for r in range(R):
+        m = q_mu[:, r]
+        W = jnp.tril(q_sqrt[r])
+        S = W @ W.T
+
+        # Expectation parameters eta = (m, S + m m^T); pull the loss
+        # gradient (dm, dW) back through xi = (m, chol(S)) as a function
+        # of eta via autodiff of the LITERAL map.
+        eta1, eta2 = m, S + jnp.outer(m, m)
+
+        def xi_of_eta(e1, e2):
+            return e1, jnp.linalg.cholesky(e2 - jnp.outer(e1, e1))
+
+        _, vjp = jax.vjp(xi_of_eta, eta1, eta2)
+        deta1, deta2 = vjp((dq_mu[:, r], jnp.tril(dq_sqrt[r])))
+
+        # Natural parameters theta = (S^-1 m, -1/2 S^-1), stepped along
+        # dL/deta, then mapped back (explicit inverses, f64).
+        Sinv = jnp.linalg.inv(S)
+        theta1 = Sinv @ m - gamma * deta1
+        theta2 = -0.5 * Sinv - gamma * deta2
+
+        S_new = jnp.linalg.inv(-2.0 * theta2)
+        m_new = S_new @ theta1
+        new_mu.append(m_new)
+        new_W.append(jnp.linalg.cholesky(S_new))
+    return jnp.stack(new_mu, axis=1), jnp.stack(new_W, axis=0)
+
+
+def natgrad_adam_step(params, grads, opt, lr, gamma):
+    """The reference's NatGrad wiring (`conv_gp/experiment.py:90-108`):
+    natural-gradient step on every layer's (q_mu, q_sqrt), Adam on all the
+    other parameters (variational grads zeroed so their moments stay 0 and
+    Adam leaves them untouched)."""
+    variational = {}
+    masked = []
+    for i, p in enumerate(params):
+        variational[i] = natgrad_update(p['q_mu'], p['q_sqrt'],
+                                        grads[i]['q_mu'],
+                                        grads[i]['q_sqrt'], gamma)
+        g = dict(grads[i])
+        g['q_mu'] = jnp.zeros_like(g['q_mu'])
+        g['q_sqrt'] = jnp.zeros_like(g['q_sqrt'])
+        masked.append(g)
+    params, opt = adam_step(params, masked, opt, lr)
+    for i, (mu_new, W_new) in variational.items():
+        params[i] = dict(params[i])
+        params[i]['q_mu'] = mu_new
+        params[i]['q_sqrt'] = W_new
+    return params, opt
+
+
 # ------------------------------------------------ bridge from built models
 def params_from_model(model):
     """Mirror a deepcgp_tpu DGP's trainable parameters into the oracle's

@@ -60,7 +60,7 @@ def _compare_params(model, oparams, step):
 
 
 def _run_trajectory(flags, X, Y, *, steps, lr=0.01, lr_decay_steps=100000,
-                    seed=0):
+                    seed=0, optimizer='Adam', gamma=0.001):
     N = X.shape[0]
     model = build_model(flags, X, Y, jax.random.PRNGKey(seed),
                         dtype=jnp.float64)
@@ -75,8 +75,8 @@ def _run_trajectory(flags, X, Y, *, steps, lr=0.01, lr_decay_steps=100000,
             prng.randn(*layer.q_mu.shape)))
         for layer in model.layers)
     model = model.replace(layers=layers)
-    config = TrainConfig(optimizer='Adam', lr=lr,
-                         lr_decay_steps=lr_decay_steps, gamma=0.001,
+    config = TrainConfig(optimizer=optimizer, lr=lr,
+                         lr_decay_steps=lr_decay_steps, gamma=gamma,
                          batch_size=flags.batch_size)
     state = trainer.init_state(model, config, jax.random.PRNGKey(seed + 1))
 
@@ -105,7 +105,12 @@ def _run_trajectory(flags, X, Y, *, steps, lr=0.01, lr_decay_steps=100000,
         state, elbo_lib = step_jit(state, xb, yb)
         loss_o, grads_o = oracle_loss_and_grad(oparams, xb, yb, zs)
         lr_t = ot.learning_rate(lr, lr_decay_steps, t)
-        oparams, oadam = ot.adam_step(oparams, grads_o, oadam, lr_t)
+        if optimizer == 'NatGrad':
+            gamma_t = ot.gamma_schedule(t, gamma)
+            oparams, oadam = ot.natgrad_adam_step(oparams, grads_o, oadam,
+                                                  lr_t, gamma_t)
+        else:
+            oparams, oadam = ot.adam_step(oparams, grads_o, oadam, lr_t)
 
         np.testing.assert_allclose(float(elbo_lib), -float(loss_o),
                                    rtol=RTOL, err_msg=f'ELBO at step {t}')
@@ -123,6 +128,21 @@ def test_trajectory_parity_two_layer():
                          strides='2,1', identity_mean=True, num_samples=3,
                          batch_size=8)
     _run_trajectory(flags, X, Y, steps=50)
+
+
+def test_trajectory_parity_natgrad():
+    """NatGrad wiring (`conv_gp/experiment.py:90-108`): natural gradient on
+    (q_mu, q_sqrt) + Adam on hyperparameters, vs the textbook XiNat
+    transcription (explicit inverses, per-GP loop) — 30 steps.  Catches
+    formula-level natgrad errors at f64; the f32 multi-step canary in
+    test_training.py covers the numerical-conditioning class that f64
+    parity cannot see."""
+    rng = np.random.RandomState(2)
+    X = rng.randn(96, 12, 12, 1)
+    Y = rng.randint(0, 10, size=(96, 1))
+    flags = BuilderFlags(M='6,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', num_samples=3, batch_size=8)
+    _run_trajectory(flags, X, Y, steps=30, optimizer='NatGrad')
 
 
 @pytest.mark.slow
