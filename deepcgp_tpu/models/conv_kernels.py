@@ -98,12 +98,12 @@ class AdditivePatchKernel:
         permutation of the L axis (pairwise distances/inner products among
         patches of one extraction, with a scalar lengthscale).  Skips the
         stack-of-slices relayout (ops/patches.py)."""
-        from deepcgp_tpu.models.base_kernels import RBF
-        from deepcgp_tpu.models.views import FullView
+        from deepcgp_tpu.ops import conv_cross
         from deepcgp_tpu.ops.patches import extract_patches_unordered
-        if (isinstance(self.view, FullView)
-                and isinstance(self.base_kernel, RBF)
-                and jnp.ndim(self.base_kernel.raw_lengthscales) == 0):
+        # Same gate as the conv-form Kuf: scalar-lengthscale RBF over a
+        # dense FullView is exactly the case whose pairwise math is
+        # invariant to a fixed within-patch element permutation.
+        if conv_cross.supports(self.base_kernel, self.view):
             N = ND_X.shape[0]
             H, W = self.view.input_size
             NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)

@@ -56,10 +56,17 @@ def make_sharded_eval_fn(mesh, batch_size: int = 32, num_samples: int = 5):
 
     def _eval(model, X, key):
         with mesh_context(mesh):
-            return trainer.predict_probs_scanned.__wrapped__(
-                model, X, key, batch_size, num_samples)
+            return _sharded_probs(mesh, model, X, key, batch_size,
+                                  num_samples)
 
     return jax.jit(_eval, static_argnums=())
+
+
+def _sharded_probs(mesh, model, X, key, batch_size, num_samples):
+    """Shared traced body of the sharded eval/accuracy programs (callers
+    hold the mesh_context)."""
+    return trainer.predict_probs_scanned.__wrapped__(
+        model, X, key, batch_size, num_samples)
 
 
 def make_sharded_accuracy_fn(mesh, batch_size: int = 32,
@@ -77,8 +84,8 @@ def make_sharded_accuracy_fn(mesh, batch_size: int = 32,
 
     def _acc(model, X, Y, key):
         with mesh_context(mesh):
-            probs = trainer.predict_probs_scanned.__wrapped__(
-                model, X, key, batch_size, num_samples)
+            probs = _sharded_probs(mesh, model, X, key, batch_size,
+                                   num_samples)
             return trainer.correct_count_from_probs(probs, Y)
 
     return jax.jit(_acc)

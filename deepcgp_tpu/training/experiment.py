@@ -203,13 +203,17 @@ class Experiment:
             # axis over 'model' (same PRNG path as the single-device eval).
             # Inputs go through the multihost path (identity single-host)
             # and only the replicated accuracy SCALAR leaves the mesh, so
-            # this works unchanged at process_count > 1.
-            import numpy as np
-            from deepcgp_tpu.parallel import multihost
-            Xg, Yg = multihost.host_local_to_global(
-                self.mesh,
-                multihost.process_shard(np.asarray(X)),
-                multihost.process_shard(np.asarray(self.Y_test)))
+            # this works unchanged at process_count > 1.  The test set is
+            # static — assemble the global arrays once and reuse them
+            # every test_every evaluation.
+            if getattr(self, '_test_dev', None) is None:
+                import numpy as np
+                from deepcgp_tpu.parallel import multihost
+                self._test_dev = multihost.host_local_to_global(
+                    self.mesh,
+                    multihost.process_shard(np.asarray(X)),
+                    multihost.process_shard(np.asarray(self.Y_test)))
+            Xg, Yg = self._test_dev
             count = self._sharded_eval(self.state.model, Xg, Yg, key)
             return float(count) / self.Y_test.size
         return float(trainer.accuracy(

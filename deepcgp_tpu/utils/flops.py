@@ -16,6 +16,8 @@ The analytic count is cross-checkable against XLA's own
 
 from __future__ import annotations
 
+import re
+
 
 def _conv_layer_flops(layer, N: int):
     """(per-evaluation flops, once-per-step flops) for a hidden ConvLayer.
@@ -97,7 +99,6 @@ TPU_PEAK_FLOPS = {
 
 
 def device_peak_flops(device) -> float:
-    import re
     kind = getattr(device, 'device_kind', '').lower()
     # Real device_kind strings spell the litepod variants 'TPU v5 lite' /
     # 'TPU v6 lite'; normalize to the short 'v5e'/'v6e' aliases first.
