@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 
 # Two-series categorical pair (CVD-safe blue/orange); single-series charts
 # use the first hue alone.  Text/axis ink stays neutral.

@@ -13,7 +13,6 @@ Tasks mirror the reference:
 
 from __future__ import annotations
 
-import io
 import math
 import os
 
