@@ -189,11 +189,16 @@ class ConvKernel(AdditivePatchKernel):
     def Kdiag(self, ND_X: jax.Array) -> jax.Array:
         pc = self.view.patch_count
         # Pairwise distances among one extraction's patches are invariant
-        # to the within-patch element order -> any-order extraction is safe.
+        # to the within-patch element order -> any-order extraction is
+        # safe.  Explicit X2: this gram is only weighted-summed into Kdiag
+        # — never factorized — so it keeps the fast default-precision
+        # matmul (the X2=None path requests exact-f32 for Cholesky-bound
+        # grams).  (A stacked-slices einsum Gram that skips the im2col
+        # measured 2.4x faster in ISOLATION but 6x slower inside the
+        # S-vmapped step — XLA's lowering of the 6-D einsum under vmap is
+        # pathological; benchmark inside the real program before swapping
+        # this path.)
         patches = self._patches_any_order(ND_X)                  # [N, P, L]
-        # Explicit X2: this gram is only weighted-summed into Kdiag — it is
-        # never factorized — so it keeps the fast default-precision matmul
-        # (the X2=None path requests exact-f32 for Cholesky-bound grams).
         NPP = self.base_kernel.K(patches, patches)               # [N, P, P]
         w = self.patch_weights
         W = w[:, None] * w[None, :]
