@@ -191,3 +191,27 @@ N = 50000
     from deepcgp_tpu.models.builder import parse_ints
     assert parse_ints(opts['M']) == [384, 384]
     assert parse_ints(opts['strides']) == [3, 1]
+
+
+def test_fashion_flag_selects_fashion_dataset(tmp_path):
+    """--fashion routes the MNIST entry through the fashion-MNIST loader
+    (`conv_gp/mnist.py:15-16` semantics); with no real data the synthetic
+    fallback warns with the fashion dataset name and the experiment still
+    runs end-to-end."""
+    import warnings
+    from deepcgp_tpu.mnist import MNIST, read_args
+    args = read_args([
+        '--name', 'fashion_probe', '-N', '64', '-M', '4,4',
+        '--feature-maps', '2', '--filter-sizes', '5,5', '--strides', '2,2',
+        '--test-every', '2', '--lr-decay-steps', '4', '--test-size', '16',
+        '--num-samples', '2', '--batch-size', '8', '--fashion',
+        '--log-dir', str(tmp_path), '--no-tensorboard'])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        exp = MNIST(args)
+    assert any('fashion_mnist' in str(w.message) for w in rec)
+    try:
+        exp.train_step()
+        assert np.isfinite(exp.last_mean_elbo)
+    finally:
+        exp.conclude()
