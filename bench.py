@@ -6,11 +6,14 @@ num_samples 10).
 Baseline: 2.14 steps/sec on the reference authors' cluster GPU
 (BASELINE.md, derived from notebooks/data/cifar_fm10.json).
 
-Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
-stderr carries the efficiency story (SURVEY.md §7.9): analytic TFLOP/step,
-achieved TFLOP/s, %-of-peak MFU, and XLA's own cost-analysis flops as a
-cross-check.  DEEPCGP_BENCH_FULL=1 additionally benches the NatGrad flagship
-and the M=1024 MNIST configs (stderr JSON lines).
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}
+for the flagship Adam config, plus keys for the NatGrad-flagship and
+M=1024-MNIST configs and per-config MFU — all three headline configs are
+driver-visible every round (VERDICT r2 weak #2), so a regression in any of
+them shows up in BENCH_r{N}.json.  stderr carries the efficiency story
+(SURVEY.md §7.9): analytic TFLOP/step, achieved TFLOP/s, %-of-peak MFU, and
+XLA's own cost-analysis flops as a cross-check.  Set DEEPCGP_BENCH_FAST=1 to
+skip the secondary configs (quick local iteration).
 """
 
 from __future__ import annotations
@@ -123,23 +126,27 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "optimizer steps/sec (batch 32, S=10, M=384,384)",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "mfu_pct": mfu["mfu_pct"],
+        "gflop_per_step": mfu["gflop_per_step"],
     }
 
-    if os.environ.get('DEEPCGP_BENCH_FULL'):
-        # Secondary configs (PARITY.md numbers); stderr JSON so the driver
-        # contract (ONE stdout JSON line) holds.
+    if not os.environ.get('DEEPCGP_BENCH_FAST'):
+        # Secondary headline configs ride the same stdout JSON line so the
+        # driver records all three every round.
         ng_sps, ng_mfu = _bench_config('flagship-natgrad', flags, 'NatGrad',
                                        X, Y)
-        _log(json.dumps({"metric": "cifar10_natgrad_steps_per_sec",
-                         "value": round(ng_sps, 3), **ng_mfu}))
+        result.update(natgrad_steps_per_sec=round(ng_sps, 3),
+                      natgrad_vs_baseline=round(
+                          ng_sps / BASELINE_STEPS_PER_SEC, 2),
+                      natgrad_mfu_pct=ng_mfu["mfu_pct"])
         mflags = BuilderFlags(M='1024', feature_maps='', filter_sizes='5',
                               strides='1', num_samples=10, batch_size=128,
                               last_kernel='rbf')
         Xm = rng.randn(2048, 28, 28, 1).astype(np.float32)
         Ym = rng.randint(0, 10, size=(2048, 1))
         m_sps, m_mfu = _bench_config('mnist-m1024', mflags, 'Adam', Xm, Ym)
-        _log(json.dumps({"metric": "mnist_m1024_steps_per_sec",
-                         "value": round(m_sps, 3), **m_mfu}))
+        result.update(m1024_steps_per_sec=round(m_sps, 3),
+                      m1024_mfu_pct=m_mfu["mfu_pct"])
 
     print(json.dumps(result))
     return result

@@ -49,10 +49,15 @@ def rbf_cross_from_images(NHWC_X: jax.Array, Z: jax.Array, variance,
     cross = lax.conv_general_dilated(
         X, Zf, (stride, stride), 'VALID',
         rhs_dilation=(dilation, dilation), dimension_numbers=_DN)
+    # ||patch||^2 at HIGHEST precision: the old extraction path computed
+    # patch norms exactly elementwise in f32, and this conv replaces it —
+    # a single-output-channel conv is cheap, so buy the exactness back
+    # rather than stacking bf16 error on top of the cross term's.
     ones = jnp.ones((f, f, C, 1), X.dtype)
     xn = lax.conv_general_dilated(
         X * X, ones, (stride, stride), 'VALID',
-        rhs_dilation=(dilation, dilation), dimension_numbers=_DN)
+        rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)
     zn = jnp.sum(Zs * Zs, axis=1)                              # [M]
 
     d2 = jnp.maximum(xn - 2.0 * cross + zn, 0.0)               # [N,Ho,Wo,M]

@@ -36,15 +36,33 @@ def initialize_distributed(**kw) -> None:
 
 
 def process_shard(array: np.ndarray, *, axis: int = 0) -> np.ndarray:
-    """This host's contiguous slice of a host-loaded array (row-sharded
-    across processes; trailing remainder goes to the last host)."""
+    """This host's contiguous slice of a host-loaded array, row-sharded
+    across processes as an EVEN split: every process contributes the same
+    shard shape, which ``jax.make_array_from_process_local_data`` requires
+    for assembly.  The remainder (at most process_count-1 trailing rows) is
+    dropped — standard data-parallel practice for the *training* set; for
+    evaluation sets, where every row must count, pad first with
+    :func:`pad_rows` (sentinel labels keep padded rows out of the accuracy
+    numerator)."""
     n_proc = jax.process_count()
     idx = jax.process_index()
-    n = array.shape[axis]
-    per = n // n_proc
+    per = array.shape[axis] // n_proc
     start = idx * per
-    stop = n if idx == n_proc - 1 else start + per
-    return array.take(np.arange(start, stop), axis=axis)
+    return array.take(np.arange(start, start + per), axis=axis)
+
+
+def pad_rows(X: np.ndarray, Y: np.ndarray, multiple: int):
+    """Pad (X, Y) along axis 0 to the next multiple of ``multiple`` with
+    zero rows and sentinel labels (-1).  Class predictions (argmax over
+    [0, K)) can never equal -1, so padded rows contribute nothing to a
+    correct-prediction count; callers divide by the TRUE row count."""
+    n = X.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return np.asarray(X), np.asarray(Y)
+    Xp = np.concatenate([X, np.zeros((pad,) + X.shape[1:], X.dtype)])
+    Yp = np.concatenate([Y, np.full((pad,) + Y.shape[1:], -1, Y.dtype)])
+    return Xp, Yp
 
 
 def host_local_to_global(mesh, *arrays, axis_name: str = 'data'):

@@ -22,6 +22,12 @@ from deepcgp_tpu.utils.log import (AccuracyLogger, GlobalStepLogger,
                                    LearningRateLogger, Log, TrainELBOLogger)
 
 
+def eval_key(seed: int, global_step: int) -> jax.Array:
+    """PRNG key for a test-set evaluation at ``global_step``: deterministic
+    given (seed, step), different across steps."""
+    return jax.random.fold_in(jax.random.PRNGKey(seed + 2), global_step)
+
+
 class Experiment:
     def __init__(self, flags):
         self.flags = flags
@@ -197,7 +203,11 @@ class Experiment:
 
     def test_accuracy(self) -> float:
         X = self.X_test.reshape(self.X_test.shape[0], -1)
-        key = jax.random.PRNGKey(self.flags.seed + 2)
+        # Fresh-but-reproducible MC noise per evaluation: the reference
+        # draws new samples each eval (`conv_gp/utils/log.py:62`); deriving
+        # the key from the global step decorrelates the accuracy column's
+        # sampling noise across epochs without losing determinism.
+        key = eval_key(self.flags.seed, self.global_step)
         if self._sharded_eval is not None:
             # Eval rides the mesh too: test-batch rows over 'data', patch
             # axis over 'model' (same PRNG path as the single-device eval).
@@ -209,10 +219,16 @@ class Experiment:
             if getattr(self, '_test_dev', None) is None:
                 import numpy as np
                 from deepcgp_tpu.parallel import multihost
+                # Pad to a process multiple (sentinel labels) so every test
+                # row survives the even process split; accuracy divides by
+                # the TRUE count below.
+                Xp, Yp = multihost.pad_rows(np.asarray(X),
+                                            np.asarray(self.Y_test),
+                                            jax.process_count())
                 self._test_dev = multihost.host_local_to_global(
                     self.mesh,
-                    multihost.process_shard(np.asarray(X)),
-                    multihost.process_shard(np.asarray(self.Y_test)))
+                    multihost.process_shard(Xp),
+                    multihost.process_shard(Yp))
             Xg, Yg = self._test_dev
             count = self._sharded_eval(self.state.model, Xg, Yg, key)
             return float(count) / self.Y_test.size

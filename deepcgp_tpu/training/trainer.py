@@ -170,12 +170,14 @@ def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
                          key=key, prev_model=new_prev), -loss
 
 
-@functools.partial(jax.jit, static_argnames=('config', 'num_steps'))
-def run_chunk(state: TrainState, config: TrainConfig, X_train, Y_train,
-              num_steps: int):
-    """``num_steps`` optimizer iterations as one on-device scan.
-    Minibatches are uniform random with replacement (gpflow Minibatch
-    semantics).  Returns (state, elbo trace [num_steps])."""
+def run_chunk_impl(state: TrainState, config: TrainConfig, X_train, Y_train,
+                   num_steps: int):
+    """Traced body of :func:`run_chunk` — ``num_steps`` optimizer iterations
+    as one on-device scan.  Minibatches are uniform random with replacement
+    (gpflow Minibatch semantics).  Returns (state, elbo trace [num_steps]).
+
+    Plain (un-jitted) so the mesh path (parallel/train.py) can re-trace it
+    under a mesh context without reaching into jit internals."""
     N = X_train.shape[0]
     # TPU row gathers are serial per-index DMAs (~2.5us each — 0.3ms/step
     # at batch 128).  For small resident sets a one-hot matmul selection is
@@ -221,6 +223,9 @@ def run_chunk(state: TrainState, config: TrainConfig, X_train, Y_train,
     return state, elbos
 
 
+run_chunk = jax.jit(run_chunk_impl, static_argnames=('config', 'num_steps'))
+
+
 # --------------------------------------------------------------- evaluation
 @functools.partial(jax.jit, static_argnames=('num_samples',))
 def predict_probs(model, X, key, num_samples: int = 5):
@@ -230,12 +235,13 @@ def predict_probs(model, X, key, num_samples: int = 5):
     return jnp.mean(probs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=('batch_size', 'num_samples'))
-def predict_probs_scanned(model, X, key, batch_size: int = 32,
-                          num_samples: int = 5):
-    """Whole-set prediction as ONE program: a lax.scan over fixed-size
-    batches (pad + reshape), so an eval over the full test set costs one
-    dispatch instead of N/batch host round-trips."""
+def predict_probs_impl(model, X, key, batch_size: int = 32,
+                       num_samples: int = 5):
+    """Traced body of :func:`predict_probs_scanned` (plain, so the mesh eval
+    path can re-trace it under a mesh context) — whole-set prediction as ONE
+    program: a lax.scan over fixed-size batches (pad + reshape), so an eval
+    over the full test set costs one dispatch instead of N/batch host
+    round-trips."""
     N = X.shape[0]
     n_batches = -(-N // batch_size)
     pad = n_batches * batch_size - N
@@ -254,6 +260,10 @@ def predict_probs_scanned(model, X, key, batch_size: int = 32,
 
     _, probs = lax.scan(body, key, Xb)
     return probs.reshape(n_batches * batch_size, -1)[:N]
+
+
+predict_probs_scanned = jax.jit(
+    predict_probs_impl, static_argnames=('batch_size', 'num_samples'))
 
 
 def correct_count_from_probs(probs, Y) -> jax.Array:

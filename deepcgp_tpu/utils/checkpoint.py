@@ -206,11 +206,33 @@ def restore_train_state(directory: str, abstract_state):
         raise FileNotFoundError(f"no state_* checkpoints under {directory}")
     path = os.path.join(directory, f'state_{step}')
     with ocp.PyTreeCheckpointer() as ckptr:
-        try:
-            return ckptr.restore(path, abstract_state)
-        except Exception:
-            if abstract_state.prev_model == ():
-                raise
-            legacy = ckptr.restore(path,
-                                   abstract_state.replace(prev_model=()))
-            return legacy.replace(prev_model=legacy.model)
+        if not _snapshot_has_key(ckptr, path, 'prev_model'):
+            # Explicitly-detected legacy snapshot (written before
+            # TrainState.prev_model existed, so the key is absent from the
+            # on-disk tree metadata): restore against a dict template
+            # WITHOUT the field (orbax rejects any template/disk structure
+            # mismatch, even a () placeholder) and seed prev_model from the
+            # restored model — those parameters were loss-verified when
+            # saved, which is exactly what prev_model asserts.  Any OTHER
+            # restore failure (corruption, shape/dtype mismatch) propagates
+            # unmasked.
+            tpl = {'model': abstract_state.model,
+                   'opt_state': abstract_state.opt_state,
+                   'step': abstract_state.step,
+                   'steps_back': abstract_state.steps_back,
+                   'key': abstract_state.key}
+            legacy = ckptr.restore(path, tpl)
+            prev = legacy['model'] if abstract_state.prev_model != () else ()
+            return abstract_state.replace(prev_model=prev, **legacy)
+        return ckptr.restore(path, abstract_state)
+
+
+def _snapshot_has_key(ckptr, path: str, key: str) -> bool:
+    """True when the on-disk pytree records ``key`` as a top-level field.
+    Conservative: if the metadata API is unavailable/unreadable, assume the
+    key exists so the normal restore path runs (and genuine errors raise)."""
+    try:
+        tree = ckptr.metadata(path).item_metadata.tree
+        return key in tree
+    except Exception:
+        return True

@@ -120,6 +120,37 @@ def test_predict_density_and_compute_ll():
     assert np.all(np.asarray(dens) <= 0.0 + 1e-6)
 
 
+def test_legacy_snapshot_detected_by_metadata(tmp_path):
+    """A pre-``prev_model`` snapshot is detected EXPLICITLY (the key is
+    absent from the orbax tree metadata) and migrated by seeding prev_model
+    from the restored model; non-legacy snapshots take the normal restore
+    path (ADVICE r2: the old bare ``except Exception`` masked genuine
+    restore failures as legacy-migration errors)."""
+    import os
+
+    import orbax.checkpoint as ocp
+    state, config, X, Y = _tiny_state()
+    ng_config = TrainConfig(optimizer='NatGrad', lr=0.01, lr_decay_steps=100,
+                            gamma=0.001, batch_size=8)
+    ng_state = trainer.init_state(state.model, ng_config,
+                                  jax.random.PRNGKey(1))
+    # Legacy format: the TrainState fields of that era — no prev_model.
+    legacy_tree = {'model': ng_state.model, 'opt_state': ng_state.opt_state,
+                   'step': ng_state.step, 'steps_back': ng_state.steps_back,
+                   'key': ng_state.key}
+    with ocp.PyTreeCheckpointer() as c:
+        c.save(os.path.join(tmp_path, 'state_0'), legacy_tree, force=True)
+    restored = ckpt.restore_train_state(str(tmp_path), ng_state)
+    np.testing.assert_allclose(
+        np.asarray(restored.prev_model.layers[0].q_mu),
+        np.asarray(restored.model.layers[0].q_mu))
+    # Current-format snapshots restore through the normal path.
+    ckpt.save_train_state(str(tmp_path), ng_state.replace(
+        step=jnp.asarray(9, jnp.int32)))
+    again = ckpt.restore_train_state(str(tmp_path), ng_state)
+    assert int(again.step) == 9
+
+
 def test_latest_state_ignores_orbax_tmp_dirs(tmp_path):
     """A crash mid-save leaves 'state_N.orbax-checkpoint-tmp-*' dirs; resume
     must skip them instead of raising ValueError."""

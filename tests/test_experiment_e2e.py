@@ -47,3 +47,14 @@ def test_experiment_full_lifecycle(tmp_path):
             np.asarray(exp.state.model.layers[0].q_mu), rtol=1e-6)
     finally:
         exp2.conclude()
+
+
+def test_eval_key_fresh_per_step():
+    """Eval MC noise decorrelates across epochs (the reference draws fresh
+    samples each eval, `conv_gp/utils/log.py:62`) while staying reproducible:
+    the key derives from (seed, global_step), not from seed alone."""
+    from deepcgp_tpu.training.experiment import eval_key
+    k100 = np.asarray(eval_key(0, 100))
+    assert not np.array_equal(k100, np.asarray(eval_key(0, 200)))
+    np.testing.assert_array_equal(k100, np.asarray(eval_key(0, 100)))
+    assert not np.array_equal(k100, np.asarray(eval_key(1, 100)))

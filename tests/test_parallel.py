@@ -191,8 +191,9 @@ def test_constrain_warns_once_on_non_dividing_axis():
 
 def test_process_shard_arithmetic(monkeypatch):
     """Row-shard arithmetic for process counts 2 and 4: shards are disjoint,
-    contiguous, cover the array exactly, and the trailing remainder goes to
-    the last host."""
+    contiguous, SAME-SHAPED on every process (required by
+    make_array_from_process_local_data), and cover the array except the
+    dropped remainder (< n_proc rows)."""
     from deepcgp_tpu.parallel import multihost
     X = np.arange(11 * 3).reshape(11, 3)
     for n_proc in (2, 4):
@@ -201,10 +202,32 @@ def test_process_shard_arithmetic(monkeypatch):
             monkeypatch.setattr(jax, 'process_count', lambda n=n_proc: n)
             monkeypatch.setattr(jax, 'process_index', lambda i=idx: i)
             shards.append(multihost.process_shard(X))
-        sizes = [s.shape[0] for s in shards]
-        assert sizes[:-1] == [11 // n_proc] * (n_proc - 1)
-        assert sizes[-1] == 11 - (n_proc - 1) * (11 // n_proc)
-        np.testing.assert_array_equal(np.concatenate(shards), X)
+        per = 11 // n_proc
+        assert [s.shape[0] for s in shards] == [per] * n_proc
+        np.testing.assert_array_equal(np.concatenate(shards), X[:per * n_proc])
+
+
+def test_pad_rows_then_shard_covers_every_row(monkeypatch):
+    """Eval sets are padded (zero rows, -1 sentinel labels) to a process
+    multiple before sharding so NO test row is dropped (ADVICE r2: 10000
+    rows on 3 hosts used to fail at global-array assembly)."""
+    from deepcgp_tpu.parallel import multihost
+    X = np.arange(10 * 2, dtype=np.float32).reshape(10, 2)
+    Y = np.arange(10)[:, None]
+    Xp, Yp = multihost.pad_rows(X, Y, 3)
+    assert Xp.shape == (12, 2) and Yp.shape == (12, 1)
+    np.testing.assert_array_equal(Xp[:10], X)
+    assert (Yp[10:] == -1).all()  # sentinel: argmax in [0, K) never matches
+    shards = []
+    for idx in range(3):
+        monkeypatch.setattr(jax, 'process_count', lambda: 3)
+        monkeypatch.setattr(jax, 'process_index', lambda i=idx: i)
+        shards.append(multihost.process_shard(Xp))
+    assert all(s.shape == (4, 2) for s in shards)
+    np.testing.assert_array_equal(np.concatenate(shards), Xp)
+    # Divisible input: pad_rows is the identity.
+    Xs, Ys = multihost.pad_rows(X, Y, 5)
+    assert Xs.shape == (10, 2) and Ys.shape == (10, 1)
 
 
 def test_experiment_mesh_uses_multihost_input_path(tmp_path):
