@@ -99,7 +99,7 @@ class AdditivePatchKernel:
         patches of one extraction, with a scalar lengthscale).  Skips the
         stack-of-slices relayout (ops/patches.py)."""
         from deepcgp_tpu.ops import conv_cross
-        from deepcgp_tpu.ops.patches import extract_patches_unordered
+        from deepcgp_tpu.ops.patches import extract_patches
         # Same gate as the conv-form Kuf: scalar-lengthscale RBF over a
         # dense FullView is exactly the case whose pairwise math is
         # invariant to a fixed within-patch element permutation.
@@ -107,7 +107,13 @@ class AdditivePatchKernel:
             N = ND_X.shape[0]
             H, W = self.view.input_size
             NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)
-            return extract_patches_unordered(
+            # Slice-based extraction (pure data movement XLA fuses into the
+            # gram matmul).  History: the conv-lowered extraction won while
+            # the last layer ran under vmap-over-S (431 vs 73 steps/s); with
+            # the S axis folded into the batch (models/dgp.py) the slice
+            # form measured faster again end-to-end — re-bench inside
+            # bench.py's real program before touching this choice.
+            return extract_patches(
                 NHWC, self.view.filter_size, self.view.stride,
                 getattr(self.view, 'dilation', 1))
         return self._patches(ND_X)

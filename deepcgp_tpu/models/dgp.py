@@ -38,6 +38,29 @@ def _reparameterize(mean: jax.Array, var: jax.Array,
     return mean + z * jnp.sqrt(var + settings.jitter)
 
 
+def mc_normal(key: jax.Array, shape, dtype) -> jax.Array:
+    """Standard normals for Monte-Carlo sampling, drawn through the 'rbg'
+    bit generator (XLA ``RngBitGenerator``).
+
+    The default threefry generator costs real MXU-idle time on TPU —
+    profiled at ~265us/step (11%) of the flagship training step just for
+    sampling bits; rbg generates bits at near-memory speed.  The rbg key is
+    derived deterministically from the (threefry) key's data, so explicit
+    key threading, reproducibility given a seed, and trajectory parity with
+    the oracle trainer (which draws through this same helper) are all
+    unchanged.  Only the *stream* differs — draws are still iid N(0,1),
+    which is all the doubly-stochastic ELBO asks of them.
+    """
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    data = data.reshape(-1).astype(jnp.uint32)
+    rbg = jax.random.wrap_key_data(jnp.concatenate([data, data]),
+                                   impl='rbg')
+    return jax.random.normal(rbg, shape, dtype)
+
+
 class PropagateResult(typing.NamedTuple):
     samples: list  # per layer: [S, N, O_l]
     means: list
@@ -58,7 +81,31 @@ class DGP:
     num_samples: int = struct.field(pytree_node=False, default=10)
 
     def precompute(self):
-        return tuple(layer.precompute() for layer in self.layers)
+        """Per-layer caches with all same-shape Kuu grams (conditional +
+        frozen KL priors) factorized in ONE batched Cholesky custom call per
+        distinct M — Cholesky custom calls are latency-bound, so three
+        separate [384, 384] factorizations cost ~3x one [3, 384, 384] call
+        (measured ~190us -> ~65us/step on the flagship)."""
+        from deepcgp_tpu.ops import linalg
+        grams = [layer.kuu_grams() for layer in self.layers]
+        flat = [g for gs in grams for g in gs]
+        chols: list = [None] * len(flat)
+        by_shape: dict = {}
+        for i, g in enumerate(flat):
+            by_shape.setdefault(g.shape, []).append(i)
+        for idxs in by_shape.values():
+            if len(idxs) == 1:
+                chols[idxs[0]] = linalg.cholesky(flat[idxs[0]])
+            else:
+                batched = linalg.cholesky(
+                    jnp.stack([flat[i] for i in idxs]))
+                for k, i in enumerate(idxs):
+                    chols[i] = batched[k]
+        caches, pos = [], 0
+        for layer, gs in zip(self.layers, grams):
+            caches.append(layer.make_cache(tuple(chols[pos:pos + len(gs)])))
+            pos += len(gs)
+        return tuple(caches)
 
     def propagate(self, X: jax.Array, key: jax.Array, S: int,
                   caches=None) -> PropagateResult:
@@ -76,9 +123,19 @@ class DGP:
                 mean = jnp.broadcast_to(mean[None], (S,) + mean.shape)
                 var = jnp.broadcast_to(var[None], (S,) + var.shape)
             else:
-                mean, var = jax.vmap(
-                    lambda f: layer.conditional_mean_var(cache, f))(F)
-            z = jax.random.normal(sub, mean.shape, dtype=mean.dtype)
+                # Fold the S sample paths into the batch axis instead of
+                # vmapping the layer: rows are independent in every
+                # conditional, so one [S*N]-row evaluation is mathematically
+                # identical — and it reaches the layer as ONE wide
+                # triangular-solve chain / one conv instead of an S-batched
+                # custom call (batched chol/solve custom-calls are
+                # latency-bound) plus vmap-transpose copies in the backward.
+                S_, N_, O_ = F.shape
+                mean, var = layer.conditional_mean_var(
+                    cache, F.reshape(S_ * N_, O_))
+                mean = mean.reshape(S_, N_, -1)
+                var = var.reshape(S_, N_, -1)
+            z = mc_normal(sub, mean.shape, mean.dtype)
             F = _reparameterize(mean, var, z)
             samples.append(F)
             means.append(mean)

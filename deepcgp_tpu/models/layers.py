@@ -35,7 +35,11 @@ from deepcgp_tpu.parallel import sharding
 
 
 class LayerCache(typing.NamedTuple):
-    Lm: jax.Array  # Cholesky of Kuu(Z), [M, M]
+    Lm: jax.Array              # Cholesky of Kuu(Z), [M, M]
+    # ConvLayer only: Cholesky of the frozen-Z0 KL prior Kuu (None when
+    # white or when the cache was built outside DGP.precompute's batched
+    # factorization).
+    Lp: typing.Any = None
 
 
 @functools.partial(jax.jit, static_argnames=('count', 'scale'))
@@ -125,8 +129,24 @@ class ConvLayer:
                    gp_count=gp_count)
 
     # -- compute --------------------------------------------------------------
+    def kuu_grams(self) -> tuple:
+        """The [M, M] grams this layer needs factorized each step: Kuu(Z)
+        for the conditional, plus the frozen-Z0 KL prior when non-white.
+        DGP.precompute stacks same-shape grams across the whole stack into
+        ONE batched Cholesky custom call (they are latency-bound — count
+        calls, not FLOPs)."""
+        if self.white:
+            return (self.conv_kernel.Kuu(self.Z),)
+        return (self.conv_kernel.Kuu(self.Z),
+                self.conv_kernel.Kuu(jax.lax.stop_gradient(self.Z0)))
+
+    def make_cache(self, chols: tuple) -> LayerCache:
+        return LayerCache(Lm=chols[0],
+                          Lp=None if self.white else chols[1])
+
     def precompute(self) -> LayerCache:
-        return LayerCache(Lm=linalg.cholesky(self.conv_kernel.Kuu(self.Z)))
+        return self.make_cache(tuple(linalg.cholesky(g)
+                                     for g in self.kuu_grams()))
 
     def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
                              full_cov: bool = False):
@@ -192,18 +212,22 @@ class ConvLayer:
 
     def KL(self, cache: LayerCache | None = None) -> jax.Array:
         """KL[q(u) || p(u)].  Non-white prior Kuu is built from the *frozen*
-        Z snapshot — NOT the current Z of ``cache`` — so the cache cannot be
-        reused here (gradients flow through kernel hyperparameters but not Z
-        — reference `conv_gp/layers.py:149-152`, SURVEY.md §2)."""
-        del cache
+        Z snapshot — NOT the current Z — so ``cache.Lm`` cannot stand in for
+        the prior (gradients flow through kernel hyperparameters but not Z
+        — reference `conv_gp/layers.py:149-152`, SURVEY.md §2).  The prior's
+        own Cholesky ``cache.Lp`` (same matrix, factorized in the batched
+        per-step pass) is reused when present."""
         if self.white:
             return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
+        if cache is not None and cache.Lp is not None:
+            return linalg.gauss_kl(self.q_mu, self.q_sqrt, Lp=cache.Lp)
         Kp = self.conv_kernel.Kuu(jax.lax.stop_gradient(self.Z0))
         return linalg.gauss_kl(self.q_mu, self.q_sqrt, Kp)
 
 
 def _sample_from_conditional(layer, ND_X, key, full_cov: bool):
     from deepcgp_tpu.config import settings
+    from deepcgp_tpu.models.dgp import mc_normal
     cache = layer.precompute()
     mean, var = layer.conditional_mean_var(cache, ND_X, full_cov=full_cov)
     if full_cov:
@@ -212,10 +236,10 @@ def _sample_from_conditional(layer, ND_X, key, full_cov: bool):
         cov = jnp.moveaxis(var, -1, 0)                       # [O, N, N]
         L = linalg.cholesky(cov + settings.jitter
                             * jnp.eye(N, dtype=mean.dtype))
-        z = jax.random.normal(key, (mean.shape[1], N), mean.dtype)
+        z = mc_normal(key, (mean.shape[1], N), mean.dtype)
         sample = mean + jnp.einsum('onk,ok->no', L, z)
     else:
-        z = jax.random.normal(key, mean.shape, mean.dtype)
+        z = mc_normal(key, mean.shape, mean.dtype)
         sample = mean + z * jnp.sqrt(var + settings.jitter)
     return sample, mean, var
 
@@ -292,8 +316,16 @@ class SVGPLayer:
                    mean_function=mean_function, white=white,
                    num_outputs_static=num_outputs)
 
+    def kuu_grams(self) -> tuple:
+        """See ConvLayer.kuu_grams; the SVGP prior uses the CURRENT Z, so
+        its conditional Cholesky doubles as the KL prior factor."""
+        return (self._Kuu(self.Z),)
+
+    def make_cache(self, chols: tuple) -> LayerCache:
+        return LayerCache(Lm=chols[0])
+
     def precompute(self) -> LayerCache:
-        return LayerCache(Lm=linalg.cholesky(self._Kuu(self.Z)))
+        return self.make_cache((linalg.cholesky(self._Kuu(self.Z)),))
 
     def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
                              full_cov: bool = False):

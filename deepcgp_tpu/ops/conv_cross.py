@@ -49,14 +49,23 @@ def rbf_cross_from_images(NHWC_X: jax.Array, Z: jax.Array, variance,
     cross = lax.conv_general_dilated(
         X, Zf, (stride, stride), 'VALID',
         rhs_dilation=(dilation, dilation), dimension_numbers=_DN)
-    # ||patch||^2 at HIGHEST precision: the old extraction path computed
-    # patch norms exactly elementwise in f32, and this conv replaces it —
-    # a single-output-channel conv is cheap, so buy the exactness back
-    # rather than stacking bf16 error on top of the cross term's.
-    ones = jnp.ones((f, f, C, 1), X.dtype)
+    # ||patch||^2 as a SEPARABLE box sum at HIGHEST precision: channel-sum
+    # X^2 elementwise (exact f32), then two rank-1 ones-convs over H and W.
+    # Exactness: the old extraction path computed patch norms elementwise in
+    # f32 and this replaces it, so no bf16 error is stacked on top of the
+    # cross term's (ADVICE r2).  Cost: the dense f*f*C ones-conv at HIGHEST
+    # measured 56us/step on the flagship; the separable form does f+f MACs
+    # per output instead of f*f*C.
+    xsq = jnp.sum(X * X, axis=3, keepdims=True)                # [N, H, W, 1]
+    ones_h = jnp.ones((f, 1, 1, 1), X.dtype)
+    ones_w = jnp.ones((1, f, 1, 1), X.dtype)
     xn = lax.conv_general_dilated(
-        X * X, ones, (stride, stride), 'VALID',
-        rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
+        xsq, ones_h, (stride, 1), 'VALID',
+        rhs_dilation=(dilation, 1), dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)
+    xn = lax.conv_general_dilated(
+        xn, ones_w, (1, stride), 'VALID',
+        rhs_dilation=(1, dilation), dimension_numbers=_DN,
         precision=lax.Precision.HIGHEST)
     zn = jnp.sum(Zs * Zs, axis=1)                              # [M]
 
@@ -65,12 +74,27 @@ def rbf_cross_from_images(NHWC_X: jax.Array, Z: jax.Array, variance,
     return K.reshape(N, -1, M)                                 # [N, P, M]
 
 
+import os
+
+_ENABLED = bool(os.environ.get('DEEPCGP_CONV_CROSS'))
+
+
 def supports(base_kernel, view) -> bool:
-    """The conv formulation applies to scalar-lengthscale RBF over a dense
-    full patch grid (FullView); everything else falls back to the
-    extract-patches path."""
+    """OPT-IN (DEEPCGP_CONV_CROSS=1); the default cross-covariance path is
+    patch extraction + matmul.
+
+    History: the conv form won round 2 (430 vs 298 steps/s) when the last
+    layer ran under vmap-over-S and extraction materialized an im2col
+    tensor per sample.  Round 3 folded S into the batch axis and switched
+    Kdiag to slice extraction — the patches are then materialized ONCE and
+    shared, the matmul runs M-minor at near-peak MXU rates, while the
+    image-layout convs pay the 128-lane padding tax on their C-minor
+    inputs (C=3/10 pads to 128; measured 15.8 TFLOP/s vs 148 for the
+    matmul, 458 vs 499 steps/s end-to-end).  Applies only to
+    scalar-lengthscale RBF over a dense FullView, as before."""
     from deepcgp_tpu.models.base_kernels import RBF
     from deepcgp_tpu.models.views import FullView
-    return (isinstance(base_kernel, RBF)
+    return (_ENABLED
+            and isinstance(base_kernel, RBF)
             and jnp.ndim(base_kernel.raw_lengthscales) == 0
             and isinstance(view, FullView))

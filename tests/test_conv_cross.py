@@ -59,7 +59,8 @@ def test_conv_cross_gradients_match():
                                    rtol=1e-9, atol=1e-11)
 
 
-def test_supports_gating():
+def test_supports_gating(monkeypatch):
+    monkeypatch.setattr(conv_cross, '_ENABLED', True)  # opt-in path
     full = FullView(input_size=(8, 8), filter_size=3, feature_maps=1,
                     stride=1)
     partial = RandomPartialView(input_size=(8, 8), filter_size=3,
@@ -73,11 +74,12 @@ def test_supports_gating():
     assert not conv_cross.supports(rbf, partial)    # sparse patch subset
 
 
-def test_layer_and_convkernel_dispatch_equivalence():
+def test_layer_and_convkernel_dispatch_equivalence(monkeypatch):
     """End-to-end: ConvLayer.conditional_mean_var and ConvKernel.Kzx_NM give
     identical results whether or not the conv path is eligible (forced by
     swapping the base kernel's lengthscale rank)."""
     from deepcgp_tpu.models.builder import BuilderFlags, build_model
+    monkeypatch.setattr(conv_cross, '_ENABLED', True)  # opt-in path
 
     rng = np.random.RandomState(2)
     flags = BuilderFlags(M='8,8', feature_maps='2', filter_sizes='5,3',

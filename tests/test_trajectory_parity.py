@@ -40,30 +40,36 @@ def _compare_params(model, oparams, step):
     for i, layer in enumerate(model.layers):
         p = oparams[i]
         is_last = i == len(model.layers) - 1
-        base = layer.kernel.base_kernel if is_last else layer.base_kernel
-        pairs = [
-            ('q_mu', np.asarray(layer.q_mu), np.asarray(p['q_mu'])),
-            ('q_sqrt', np.asarray(jnp.tril(layer.q_sqrt)),
-             np.asarray(p['q_sqrt'])),
-            ('Z', np.asarray(layer.Z), np.asarray(p['Z'])),
-            ('raw_variance', np.asarray(base.raw_variance),
-             np.asarray(p['raw_variance'])),
-            ('raw_lengthscales', np.asarray(base.raw_lengthscales),
-             np.asarray(p['raw_lengthscales'])),
-        ]
-        if is_last:
-            pairs.append(('patch_weights',
-                          np.asarray(layer.kernel.patch_weights),
-                          np.asarray(p['patch_weights'])))
-        for name, a, b in pairs:
-            _assert_close(a, b, f'step {step} layer {i} param {name}')
+        base = (getattr(layer.kernel, 'base_kernel', layer.kernel)
+                if is_last else layer.base_kernel)
+        lookup = {
+            'q_mu': lambda: layer.q_mu,
+            'q_sqrt': lambda: jnp.tril(layer.q_sqrt),
+            'Z': lambda: layer.Z,
+            'raw_variance': lambda: base.raw_variance,
+            'raw_lengthscales': lambda: base.raw_lengthscales,
+            'raw_weight_variances': lambda: base.raw_weight_variances,
+            'raw_bias_variance': lambda: base.raw_bias_variance,
+            'patch_weights': lambda: layer.kernel.patch_weights,
+        }
+        for name in p:
+            _assert_close(np.asarray(lookup[name]()), np.asarray(p[name]),
+                          f'step {step} layer {i} param {name}')
 
 
 def _run_trajectory(flags, X, Y, *, steps, lr=0.01, lr_decay_steps=100000,
                     seed=0, optimizer='Adam', gamma=0.001):
-    N = X.shape[0]
     model = build_model(flags, X, Y, jax.random.PRNGKey(seed),
                         dtype=jnp.float64)
+    return _drive_trajectory(model, flags.batch_size, X, Y, steps=steps,
+                             lr=lr, lr_decay_steps=lr_decay_steps, seed=seed,
+                             optimizer=optimizer, gamma=gamma)
+
+
+def _drive_trajectory(model, batch_size, X, Y, *, steps, lr=0.01,
+                      lr_decay_steps=100000, seed=0, optimizer='Adam',
+                      gamma=0.001):
+    N = X.shape[0]
     # Perturb q_mu away from the symmetric zero init (SHARED by both
     # trainers): at exactly q_mu=0 everywhere the ELBO's q_mu gradients
     # cancel to f64 noise (~1e-16), and Adam's g/(|g|+eps) normalisation
@@ -77,7 +83,7 @@ def _run_trajectory(flags, X, Y, *, steps, lr=0.01, lr_decay_steps=100000,
     model = model.replace(layers=layers)
     config = TrainConfig(optimizer=optimizer, lr=lr,
                          lr_decay_steps=lr_decay_steps, gamma=gamma,
-                         batch_size=flags.batch_size)
+                         batch_size=batch_size)
     state = trainer.init_state(model, config, jax.random.PRNGKey(seed + 1))
 
     oparams = ot.params_from_model(model)
@@ -95,12 +101,12 @@ def _run_trajectory(flags, X, Y, *, steps, lr=0.01, lr_decay_steps=100000,
     Yd = jnp.asarray(Y)
     key = state.key
     for t in range(steps):
-        idx = rng.randint(0, N, size=flags.batch_size)
+        idx = rng.randint(0, N, size=batch_size)
         xb, yb = Xd[idx], Yd[idx]
 
         # Replicate the library step's PRNG path to share the MC noise.
         key, k_mc = jax.random.split(key)
-        zs = ot.noise_like(k_mc, S, flags.batch_size, out_dims, jnp.float64)
+        zs = ot.noise_like(k_mc, S, batch_size, out_dims, jnp.float64)
 
         state, elbo_lib = step_jit(state, xb, yb)
         loss_o, grads_o = oracle_loss_and_grad(oparams, xb, yb, zs)
@@ -156,3 +162,102 @@ def test_trajectory_parity_n1000_m100_config():
     flags = BuilderFlags(M='100', feature_maps='', filter_sizes='5',
                          strides='1', num_samples=10, batch_size=32)
     _run_trajectory(flags, X, Y, steps=50)
+
+
+def test_trajectory_parity_acos():
+    """ArcCosine order-0 base kernel (`conv_gp/models.py:118-119`, gpflow 1.2
+    ArcCosine formulas): full-trajectory parity of the acos hidden layer —
+    Kuu/Kuf/KL all flow through the weighted-product/acos math and its
+    weight_variances/bias_variance gradients."""
+    rng = np.random.RandomState(3)
+    X = rng.randn(96, 12, 12, 1)
+    Y = rng.randint(0, 10, size=(96, 1))
+    flags = BuilderFlags(M='6,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', base_kernel='acos', num_samples=3,
+                         batch_size=8)
+    _run_trajectory(flags, X, Y, steps=25)
+
+
+def test_trajectory_parity_white():
+    """--white (`conv_gp/layers.py:89,145`): identity q_sqrt init, whitened
+    conditional (no unwhitening backsubstitution) and identity-prior KL on
+    BOTH layers."""
+    rng = np.random.RandomState(4)
+    X = rng.randn(96, 12, 12, 1)
+    Y = rng.randint(0, 10, size=(96, 1))
+    flags = BuilderFlags(M='6,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', white=True, num_samples=3,
+                         batch_size=8)
+    _run_trajectory(flags, X, Y, steps=25)
+
+
+def test_trajectory_parity_last_kernel_rbf_ard():
+    """--last-kernel rbf (`conv_gp/models.py:160-168`): plain ARD RBF over
+    the flattened hidden-layer output, per-dimension lengthscale gradients,
+    k-means-on-data inducing init."""
+    rng = np.random.RandomState(5)
+    X = rng.randn(96, 12, 12, 1)
+    Y = rng.randint(0, 10, size=(96, 1))
+    flags = BuilderFlags(M='6,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', last_kernel='rbf', num_samples=3,
+                         batch_size=8)
+    _run_trajectory(flags, X, Y, steps=25)
+
+
+def test_trajectory_parity_last_kernel_add():
+    """--last-kernel add (`conv_gp/kernels.py:15-77`): AdditivePatchKernel's
+    per-position weighted-mean Kdiag (vs ConvKernel's double sum) with
+    trainable patch weights."""
+    rng = np.random.RandomState(6)
+    X = rng.randn(96, 12, 12, 1)
+    Y = rng.randint(0, 10, size=(96, 1))
+    flags = BuilderFlags(M='6,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', last_kernel='add', num_samples=3,
+                         batch_size=8)
+    _run_trajectory(flags, X, Y, steps=25)
+
+
+def test_trajectory_parity_random_partial_patchwise():
+    """RandomPartialView + PatchwiseConv2d (`conv_gp/views.py:70-114`,
+    `conv_gp/mean_functions.py:43-59`): hidden layer over a fixed random
+    subset of stride-1 patch positions with the patchwise centre-pixel mean.
+    Not reachable from the reference CLI flags (the builder only constructs
+    FullView) — assembled directly, like the reference's own tests."""
+    import jax.numpy as jnp
+
+    from deepcgp_tpu.models.base_kernels import RBF
+    from deepcgp_tpu.models.conv_kernels import ConvKernel
+    from deepcgp_tpu.models.dgp import DGP
+    from deepcgp_tpu.models.layers import ConvLayer, SVGPLayer
+    from deepcgp_tpu.models.likelihoods import MultiClass
+    from deepcgp_tpu.models.mean_functions import PatchwiseConv2d, Zero
+    from deepcgp_tpu.models.views import FullView, RandomPartialView
+
+    rng = np.random.RandomState(7)
+    N = 96
+    X = rng.randn(N, 12, 12, 1)
+    Y = rng.randint(0, 10, size=(N, 1))
+
+    view1 = RandomPartialView(input_size=(12, 12), filter_size=5,
+                              feature_maps=1, patch_count=9, seed=11)
+    base1 = RBF.create(5.0, 5.0, dtype=jnp.float64)
+    Z1 = jnp.asarray(rng.randn(6, 25))
+    layer1 = ConvLayer.create(
+        base1, view1, Z1,
+        mean_function=PatchwiseConv2d.create(5, 1, dtype=jnp.float64),
+        gp_count=1, q_sqrt_scale=1e-5, dtype=jnp.float64)
+
+    # Layer-1 output: patch_count=9 -> 3x3 single-map image.
+    view2 = FullView(input_size=(3, 3), filter_size=3, feature_maps=1,
+                     stride=1)
+    base2 = RBF.create(5.0, 5.0, dtype=jnp.float64)
+    Z2 = jnp.asarray(rng.randn(8, 9))
+    layer2 = SVGPLayer.create(ConvKernel.create(base2, view2,
+                                                dtype=jnp.float64),
+                              Z2, num_outputs=10,
+                              mean_function=Zero(output_dim=10),
+                              dtype=jnp.float64)
+
+    model = DGP(layers=(layer1, layer2), likelihood=MultiClass(10),
+                num_data=N, num_samples=3)
+    _drive_trajectory(model, 8, X, Y, steps=25, seed=7)
