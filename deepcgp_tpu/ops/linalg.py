@@ -94,9 +94,21 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
         if Lp is None:
             Lp = cholesky(K)  # [M, M]
         alpha = solve_triangular_mrhs(Lp, q_mu, lower=True)  # Lp^-1 m, [M, R]
-        # tr(K^-1 S_r) = || Lp^-1 Lq_r ||_F^2
-        LpiLq = solve_triangular_mrhs(Lp, Lq, lower=True)  # [R, M, M]
-        trace = jnp.sum(jnp.square(LpiLq))
+        # sum_r tr(K^-1 S_r) = tr(K^-1 T) with T = sum_r Lq_r Lq_r^T,
+        # computed as tr(solve(Lp^T, solve(Lp, T))).  Equivalent to
+        # ||Lp^-1 Lq||_F^2 summed over r, but the R-fold work moves from an
+        # R*M-rhs triangular solve (TRSM runs ~25 TF/s on this chip, and
+        # its VJP is ANOTHER R*M-rhs solve) into one [M, R*M] @ [R*M, M]
+        # MXU matmul; the remaining solves carry M rhs each, independent
+        # of R.  Profiled on the M=1024 config the old form was the
+        # single largest compute bucket (~700us fwd + its share of 1.1ms
+        # of solve-backward TRSM per step).
+        B = jnp.swapaxes(Lq, 0, 1).reshape(M, -1)            # [M, R*M]
+        T = B @ B.T                                          # [M, M]
+        V = lax.linalg.triangular_solve(Lp, T, left_side=True, lower=True)
+        X = lax.linalg.triangular_solve(Lp, V, left_side=True, lower=True,
+                                        transpose_a=True)
+        trace = jnp.trace(X)
         # Masked elementwise log (see logdet_q below): jnp.diagonal's
         # backward is a scatter-add into a fresh [M, M].
         eye_p = jnp.eye(M, dtype=Lp.dtype)
