@@ -88,9 +88,11 @@ def _bench_config(tag, flags, optimizer, X, Y, steps=300):
             ca = ca[0]
         # XLA counts the lax.scan body ONCE (no trip-count multiply), and
         # the chunk is one scan of identical steps — so the program total
-        # IS approximately the per-step figure (measured: 51.0 vs analytic
-        # 45.7 GFLOP on the flagship).
-        xla_fl = float(ca.get('flops', float('nan')))
+        # IS approximately the per-step figure, divided by the scan body's
+        # unroll factor (trainer.run_chunk unrolls x2 for even chunk
+        # lengths).
+        unroll = 2 if steps % 2 == 0 else 1
+        xla_fl = float(ca.get('flops', float('nan'))) / unroll
     except Exception as e:
         _log(f"[{tag}] cost_analysis unavailable: {e}")
     _log(f"[{tag}] {steps_per_sec:.1f} steps/s | analytic "

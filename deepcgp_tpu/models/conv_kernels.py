@@ -93,11 +93,12 @@ class AdditivePatchKernel:
         return self.view.extract_patches_NPL(NHWC)  # [N, P, L]
 
     def _patches_any_order(self, ND_X: jax.Array) -> jax.Array:
-        """[N, P, L] with an UNSPECIFIED (but fixed) within-patch element
-        order — only valid for consumers whose math is invariant to a fixed
-        permutation of the L axis (pairwise distances/inner products among
-        patches of one extraction, with a scalar lengthscale).  Skips the
-        stack-of-slices relayout (ops/patches.py)."""
+        """[N, P, L] for consumers whose math only needs SOME fixed
+        within-patch element order (pairwise distances/inner products among
+        patches of one extraction, with a scalar lengthscale) — i.e. the
+        Kdiag gram.  The contract permits any fixed permutation of L; the
+        current implementation returns the TF order, which lets XLA share
+        the extraction with Kzx's."""
         from deepcgp_tpu.ops import conv_cross
         from deepcgp_tpu.ops.patches import extract_patches
         # Same gate as the conv-form Kuf: scalar-lengthscale RBF over a

@@ -1,4 +1,4 @@
-"""RBF patch cross-covariance as a convolution — no im2col in HBM.
+"""RBF patch cross-covariance as a convolution (OPT-IN alternative path).
 
 The patch-sum kernels evaluate k(x[p], z_m) for every patch position p of an
 image (reference `conv_gp/kernels.py:117-133` via `views.py:34-38`
@@ -8,12 +8,16 @@ lengthscale the whole cross-covariance factors through the image directly:
     ||patch_p(x)/l - z_m/l||^2
         = conv(x^2/l^2, ones)[p] - 2 conv(x/l, z_m/l)[p] + ||z_m/l||^2
 
-so the dominant contraction IS a convolution with the (scaled) inducing
-patches as its filters.  XLA lowers that conv onto the MXU with its im2col
-done in on-chip memory: profiling the flagship step showed ~0.5ms/step of
-HBM layout copies around the materialized [S, N, P, L] patch tensor
-(stack-of-slices layout vs f32/bf16 matmul layouts) that this formulation
-removes entirely.
+so the dominant contraction becomes a convolution with the (scaled)
+inducing patches as its filters and the im2col tensor never reaches HBM.
+This won round 2 (the last layer then ran vmapped over the S samples and
+materialized a patch tensor per sample); in round 3 the S axis is folded
+into the batch and extraction is slice-based and shared with Kdiag, after
+which the image-layout convs LOSE to plain patch matmuls — C-minor conv
+inputs pad to the 128-lane tile (C=3 -> 42x read inflation; measured 15.8
+vs 148 TFLOP/s, 458 vs 499 steps/s end-to-end) — so the default path is
+extraction + matmul and this module is enabled only by
+``DEEPCGP_CONV_CROSS=1`` (see :func:`supports`).
 
 Patch/filter element ordering is the TF one the rest of the library uses:
 Z rows are (fh, fw, C) row-major, so Z.reshape(M, fh, fw, C) -> HWIO.

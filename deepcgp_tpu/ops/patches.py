@@ -55,33 +55,6 @@ def extract_patches(NHWC_X: jax.Array, filter_size: int, stride: int = 1,
     return stacked.reshape(N, Hout * Wout, filter_size * filter_size * C)
 
 
-def extract_patches_unordered(NHWC_X: jax.Array, filter_size: int,
-                              stride: int = 1,
-                              dilation: int = 1) -> jax.Array:
-    """[N, H, W, C] -> [N, P, L] with elements within a patch in (C, fh, fw)
-    order — NOT the TF order the rest of the library uses.
-
-    For consumers whose math is invariant to a fixed permutation of the
-    patch elements (pairwise distances / inner products between patches of
-    the SAME extraction, e.g. ConvKernel.Kdiag's double patch sum), this
-    variant skips the stack-of-slices relayout of :func:`extract_patches`
-    (~0.3ms/step of pure copies at the flagship shape) by letting XLA lower
-    ``conv_general_dilated_patches`` straight onto the MXU."""
-    N, H, W, C = NHWC_X.shape
-    Hout = out_size(H, filter_size, stride, dilation)
-    Wout = out_size(W, filter_size, stride, dilation)
-    patches = lax.conv_general_dilated_patches(
-        NHWC_X,
-        filter_shape=(filter_size, filter_size),
-        window_strides=(stride, stride),
-        padding='VALID',
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-    )  # [N, Hout, Wout, C*fh*fw] ordered (C, fh, fw)
-    return patches.reshape(N, Hout * Wout,
-                           filter_size * filter_size * C)
-
-
 def extract_patches_conv(NHWC_X: jax.Array, filter_size: int, stride: int = 1,
                          dilation: int = 1) -> jax.Array:
     """Same contract as :func:`extract_patches`, via

@@ -203,7 +203,8 @@ def run_chunk_impl(state: TrainState, config: TrainConfig, X_train, Y_train,
         state, elbo = train_step(state.replace(key=key), config, xb, yb)
         return state, elbo
 
-    state, elbos = lax.scan(body, state, length=num_steps)
+    state, elbos = lax.scan(body, state, length=num_steps,
+                            unroll=2 if num_steps % 2 == 0 else 1)
 
     if config.optimizer == 'NatGrad':
         # Terminal verification: the deferred NatGrad check means the LAST
