@@ -121,6 +121,12 @@ def parse_trace(trace_dir: str):
             tid_names[(e['pid'], e['tid'])] = e['args'].get('name', '')
     device_pids = {pid for pid, n in pid_names.items()
                    if re.search(r'tpu|device|/device', n, re.I)}
+    # Prefer the 'XLA Ops' lane: the trace also carries module/step wrapper
+    # lanes ('XLA Modules', 'Steps') whose spans each re-cover the whole
+    # program — counting them triples the total and buries the real ops in
+    # an 'other' bucket.
+    op_lanes = {k for k, n in tid_names.items()
+                if k[0] in device_pids and re.search(r'xla ops', n, re.I)}
     per_op = collections.Counter()
     op_meta = {}
     total = 0.0
@@ -128,11 +134,18 @@ def parse_trace(trace_dir: str):
         if e.get('ph') != 'X' or e.get('pid') not in device_pids:
             continue
         tname = tid_names.get((e['pid'], e['tid']), '')
-        # Skip host-side lanes inside the device process if any.
-        if re.search(r'host|python', tname, re.I):
+        if op_lanes:
+            if (e['pid'], e['tid']) not in op_lanes:
+                continue
+        elif re.search(r'host|python', tname, re.I):
+            continue
+        name = e.get('name', '')
+        # Wrapper spans (the jitted module, the scan's while loop) cover the
+        # whole chunk; their inner ops are recorded separately — skip them.
+        if (name == '0' or name.startswith('jit_')
+                or re.match(r'while\.?\d*$', name)):
             continue
         dur = e.get('dur', 0) / 1e6  # us -> s
-        name = e.get('name', '')
         args = e.get('args', {}) or {}
         meta = ' '.join(str(v) for v in args.values())
         per_op[name] += dur
