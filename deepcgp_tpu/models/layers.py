@@ -244,6 +244,16 @@ def _sample_from_conditional(layer, ND_X, key, full_cov: bool):
     return sample, mean, var
 
 
+def _svgp_kuf_kdiag(kernel, Z, ND_X):
+    """Kuf [N, M] + Kdiag [N] of the last layer, as one remat unit (see
+    SVGPLayer.conditional_mean_var for the rationale)."""
+    if hasattr(kernel, 'Kzx_NM'):
+        Kuf = kernel.Kzx_NM(Z, ND_X)
+    else:
+        Kuf = kernel.K(ND_X, Z)
+    return Kuf, kernel.Kdiag(ND_X)
+
+
 @struct.dataclass
 class SVGPLayer:
     """Final SVGP layer over the whole (flattened) image with a single
@@ -330,11 +340,22 @@ class SVGPLayer:
     def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
                              full_cov: bool = False):
         N = ND_X.shape[0]
-        Kuf = self._Kuf_NM(ND_X)[None]                   # [1, N, M]
         if full_cov:
+            Kuf = self._Kuf_NM(ND_X)[None]               # [1, N, M]
             Knn = self.kernel.K(ND_X)[None]              # [1, N, N]
         else:
-            Knn = self.kernel.Kdiag(ND_X)[None]          # [1, N]
+            # Rematerialize the cross-covariance block in the backward:
+            # without the checkpoint, XLA saves the [N, P, L] im2col tensor
+            # and the [N, P, M] kernel matrix as residuals, and the backward
+            # re-reads them through a chain of layout copies (profiled at
+            # ~140us/step of pure {0,1,2}<->{2,1,0} copies + f32/bf16
+            # duplicates of the patch tensor at the flagship shape).
+            # Recomputing patches (static slices) + the distance matmuls in
+            # the backward is cheaper than the copies + HBM round-trip of
+            # ~29MB/step of residuals; only (ND_X, Z, hyperparams) is saved.
+            Kuf, Knn = jax.checkpoint(_svgp_kuf_kdiag)(
+                self.kernel, self.Z, ND_X)
+            Kuf, Knn = Kuf[None], Knn[None]              # [1, N, M], [1, N]
         mean, var = multi_output_conditional(
             Kuf, None, Knn, self.q_mu, full_cov=full_cov,
             q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm,
