@@ -129,6 +129,40 @@ def test_expectation_vjp_matches_autodiff():
                                rtol=1e-9, atol=1e-11)
 
 
+def test_natgrad_matches_theta_roundtrip():
+    """The fused natgrad update (mu - g W G^-1 W^T dmu, chol(W G^-1 W^T)
+    with G = I + 2g sym(phi(W^T dW)) — optim.py:natgrad_update) must equal
+    the explicit theta-space round trip it collapses
+    (optim.py:natgrad_update_theta), across gamma magnitudes."""
+    rng = np.random.RandomState(7)
+    R, M = 3, 8
+    A = rng.randn(R, M, M)
+    S = A @ np.swapaxes(A, -1, -2) + 5.0 * np.eye(M)
+    q_sqrt = jnp.asarray(np.linalg.cholesky(S))
+    q_mu = jnp.asarray(rng.randn(M, R))
+    dq_mu = jnp.asarray(rng.randn(M, R))
+    dq_sqrt = jnp.asarray(rng.randn(R, M, M))
+    for gamma in (1e-4, 1e-3, 1e-2):
+        mu_f, W_f = optim.natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt,
+                                         jnp.asarray(gamma))
+        mu_t, W_t = optim.natgrad_update_theta(q_mu, q_sqrt, dq_mu, dq_sqrt,
+                                               jnp.asarray(gamma))
+        assert np.isfinite(np.asarray(W_f)).all(), gamma
+        np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_t),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(W_f), np.asarray(W_t),
+                                   rtol=1e-8, atol=1e-10)
+    # When the step leaves the PD cone (huge gamma), BOTH forms must signal
+    # it with non-finite output (same backoff trigger); the NaN layout
+    # inside the failed factor is implementation-specific.
+    mu_f, W_f = optim.natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt,
+                                     jnp.asarray(0.5))
+    mu_t, W_t = optim.natgrad_update_theta(q_mu, q_sqrt, dq_mu, dq_sqrt,
+                                           jnp.asarray(0.5))
+    assert not np.isfinite(np.asarray(W_f)).all()
+    assert not np.isfinite(np.asarray(W_t)).all()
+
+
 def test_natural_to_meanvarsqrt_flip_identity():
     """The exchange-trick chol(P^-1) equals the naive
     chol(P) -> invert -> re-chol route (one factorization instead of two)."""
