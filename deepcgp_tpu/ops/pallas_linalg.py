@@ -1,0 +1,175 @@
+"""Batch-parallel Cholesky + triangular inverse (Pallas base, blocked driver).
+
+Why this exists: XLA's TPU cholesky/triangular-solve custom calls process a
+BATCHED input serially per batch element — profiled on v5e:
+chol([3,384,384]) ~92us but chol([20,384,384]) ~1.25ms, and the [20,384,384]
+M-rhs TRSM ~610us (tools/roofline.py, natgrad config).  The NatGrad update
+(training/optim.py:natgrad_update) factorizes a [2*R, M, M] stack every
+step, so those two calls were ~45% of its step time.
+
+TPU-native replacement (reference being rebuilt: the gpflow NatGradOptimizer
+linear algebra, `conv_gp/experiment.py:90-108`):
+
+* the 128x128 *base cases* run in ONE Pallas kernel, vectorized across the
+  whole batch in VMEM (a [B,128,128] panel is only B*65KB) — the serial
+  128-iteration column/row recurrences are amortized over all B lanes
+  instead of being re-run per batch element;
+* the *panel-level* work (panel solve, trailing SYRK update, inverse
+  assembly) is plain-JAX batched einsums — XLA batched MATMULS parallelize
+  across batch just fine; it is only the factorization custom calls that
+  serialize — at Precision.HIGHEST, matching the f32 arithmetic of the
+  custom calls they replace.
+
+The driver returns BOTH chol(A) and chol(A)^-1: the NatGrad consumer needs
+exactly that pair (W_new = W * J Lgf^-T J), and the explicit inverse is
+numerically safe there because G = I + O(gamma) is near-identity.  This is
+NOT wired into the conditional's Kuu solve chain (where an explicit
+triangular inverse of an ill-conditioned kernel matrix degraded f32
+training — see the round-2 tri_inverse note in CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PANEL = 128   # default/max panel; see chol_inv_batched(panel=...)
+
+
+def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
+    """Base case: D [b, P, P] (symmetric; lower triangle meaningful) ->
+    L = chol(D) and Linv = L^-1, all batch lanes advanced together.
+
+    Two serial recurrences of P steps each — the irreducible sequential
+    depth of a Cholesky — with every step a [b, P, P] VPU op, so the cost
+    is (nearly) independent of b instead of linear in it.
+    """
+    D = D_ref[:]
+    b, P, _ = D.shape
+    dtype = D.dtype
+    rows = lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    ridx = lax.broadcasted_iota(jnp.int32, (P, 1), 0)      # row index
+    colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)     # lane index
+    zero = jnp.zeros((), dtype)
+
+    # The recurrences are STATICALLY UNROLLED: a lax.fori_loop body here
+    # costs ~2us of loop machinery per iteration on Mosaic (768 iterations
+    # made the kernel no faster than the serial XLA custom call it
+    # replaces); with static j every column/pivot access is a static
+    # slice and the whole factorization is one straight-line vector
+    # program.  The masks are compile-time constants.
+    def chol_body(j, D):
+        colj = D[:, :, j:j + 1]                                # [b, P, 1]
+        djj = colj[:, j:j + 1]                                 # [b, 1, 1]
+        cvec = colj * lax.rsqrt(djj)                           # scaled col j
+        # Rank-1 downdate of the trailing submatrix (square region; the
+        # input is symmetric so updating its upper mirror is consistent).
+        upd = D - cvec * jnp.swapaxes(cvec, 1, 2)
+        D = jnp.where(((rows > j) & (cols > j))[None], upd, D)
+        # Commit column j of the factor (zeros above the diagonal).
+        newcol = jnp.where((rows >= j)[None], cvec, zero)
+        return jnp.where((cols == j)[None], newcol, D)
+
+    L = D
+    for j in range(P):
+        L = chol_body(j, L)
+    L = jnp.where((rows >= cols)[None], L, zero)
+    L_ref[:] = L
+
+    def inv_body(i, X):
+        rowi = L[:, i:i + 1, :]                                # [b, 1, P]
+        lii = rowi[:, :, i:i + 1]                              # [b, 1, 1]
+        rowm = jnp.where(colid < i, rowi, zero)
+        # contrib[q] = sum_{p<i} L[i,p] X[p,q]
+        contrib = jnp.sum(jnp.swapaxes(rowm, 1, 2) * X, axis=1,
+                          keepdims=True)                       # [b, 1, P]
+        onehot = (colid == i).astype(dtype)
+        newrow = (onehot - contrib) / lii
+        return jnp.where((rows == i)[None], newrow, X)
+
+    X = jnp.zeros((b, P, P), dtype)
+    for i in range(P):
+        X = inv_body(i, X)
+    Linv_ref[:] = X
+
+
+def chol_inv_base(D: jax.Array, *, interpret: bool = False):
+    """[b, P, P] symmetric -> (chol(D), chol(D)^-1), one Pallas call."""
+    b, P, _ = D.shape
+    out = jax.ShapeDtypeStruct((b, P, P), D.dtype)
+    return pl.pallas_call(
+        _chol_inv_base_kernel,
+        out_shape=(out, out),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(D)
+
+
+def chol_inv_batched(A: jax.Array, *, panel: int = 32,
+                     interpret: bool = False):
+    """Blocked right-looking Cholesky of a batch of SPD matrices, plus the
+    explicit inverse of the factor: A [B, M, M] (M a multiple of 128) ->
+    (L, Linv) with L lower-triangular, L L^T = A, Linv = L^-1.
+
+    Non-PD batch elements yield NaN in their L/Linv (rsqrt of a negative
+    pivot) exactly like jnp.linalg.cholesky — callers' finite checks keep
+    working.
+    """
+    B, M, M2 = A.shape
+    P = min(panel, M)
+    assert M == M2 and M % P == 0, (B, M, M2, panel)
+    np_ = M // P
+    HI = lax.Precision.HIGHEST
+
+    if np_ == 1:
+        return chol_inv_base(A, interpret=interpret)
+    PANEL_ = P
+
+    Lb = {}      # (i, k) -> [B, P, P] block of L, i >= k
+    Dinv = {}    # k -> inverse of diagonal block k
+    rem = A
+    for k in range(np_):
+        Lkk, Lkkinv = chol_inv_base(rem[:, :PANEL_, :PANEL_],
+                                    interpret=interpret)
+        Lb[(k, k)] = Lkk
+        Dinv[k] = Lkkinv
+        if k + 1 < np_:
+            A21 = rem[:, PANEL_:, :PANEL_]                   # [B, m, P]
+            # Panel solve L21 = A21 Lkk^-T and trailing downdate — batched
+            # MXU matmuls (these parallelize over B; only the custom-call
+            # factorizations don't).
+            L21 = jnp.einsum('brp,bqp->brq', A21, Lkkinv, precision=HI)
+            rem = rem[:, PANEL_:, PANEL_:] - jnp.einsum(
+                'brp,bsp->brs', L21, L21, precision=HI)
+            for i in range(k + 1, np_):
+                Lb[(i, k)] = L21[:, (i - k - 1) * PANEL_:(i - k) * PANEL_]
+
+    # Block forward substitution for the full inverse:
+    #   X[k][k] = Dinv_k;  X[i][c] = -Dinv_i sum_{c<=l<i} L[i][l] X[l][c].
+    Xb = {}
+    for c in range(np_):
+        Xb[(c, c)] = Dinv[c]
+        for i in range(c + 1, np_):
+            acc = 0.0
+            for l in range(c, i):
+                acc = acc + jnp.einsum('bij,bjk->bik', Lb[(i, l)],
+                                       Xb[(l, c)], precision=HI)
+            Xb[(i, c)] = -jnp.einsum('bij,bjk->bik', Dinv[i], acc,
+                                     precision=HI)
+
+    zero = jnp.zeros((B, PANEL_, PANEL_), A.dtype)
+    L = jnp.concatenate([
+        jnp.concatenate([Lb.get((i, j), zero) for j in range(np_)], axis=2)
+        for i in range(np_)], axis=1)
+    Linv = jnp.concatenate([
+        jnp.concatenate([Xb.get((i, j), zero) for j in range(np_)], axis=2)
+        for i in range(np_)], axis=1)
+    return L, Linv

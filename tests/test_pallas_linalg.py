@@ -1,0 +1,70 @@
+"""Oracles for the batch-parallel Pallas Cholesky/inverse
+(deepcgp_tpu/ops/pallas_linalg.py) — run in interpreter mode on the CPU
+test platform; the TPU compiles the same kernel natively.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepcgp_tpu.ops import pallas_linalg
+
+
+def _spd(rng, B, M, jitter=2.0):
+    A = rng.randn(B, M, M)
+    S = A @ np.swapaxes(A, -1, -2) / M + jitter * np.eye(M)
+    return S
+
+
+@pytest.mark.parametrize('M', [128, 256, 384])
+def test_chol_inv_matches_numpy(M):
+    rng = np.random.RandomState(0)
+    S = _spd(rng, 5, M)
+    L, Linv = pallas_linalg.chol_inv_batched(jnp.asarray(S), interpret=True)
+    L, Linv = np.asarray(L), np.asarray(Linv)
+    ref = np.linalg.cholesky(S)
+    np.testing.assert_allclose(L, ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(Linv, np.linalg.inv(ref),
+                               rtol=1e-8, atol=1e-10)
+    # Strictly triangular (exact zeros above the diagonal).
+    assert (np.triu(L, 1) == 0).all()
+    assert (np.triu(Linv, 1) == 0).all()
+
+
+def test_chol_inv_f32_accuracy():
+    """f32 path (what the TPU actually runs): factor residual and inverse
+    residual stay at f32 roundoff scale."""
+    rng = np.random.RandomState(1)
+    S = _spd(rng, 4, 384).astype(np.float32)
+    L, Linv = pallas_linalg.chol_inv_batched(jnp.asarray(S), interpret=True)
+    L, Linv = np.asarray(L), np.asarray(Linv)
+    recon = L @ np.swapaxes(L, -1, -2)
+    np.testing.assert_allclose(recon, S, rtol=2e-5, atol=2e-5)
+    eye = Linv @ L
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(384), eye.shape),
+                               atol=5e-5)
+
+
+def test_non_pd_input_yields_nonfinite():
+    """NaN contract matches jnp.linalg.cholesky: callers' finite checks
+    (NatGrad backoff) must keep firing."""
+    rng = np.random.RandomState(2)
+    S = _spd(rng, 3, 256)
+    S[1] = -np.eye(256)  # not PD
+    L, Linv = pallas_linalg.chol_inv_batched(jnp.asarray(S), interpret=True)
+    assert np.isfinite(np.asarray(L)[0]).all()
+    assert np.isfinite(np.asarray(L)[2]).all()
+    assert not np.isfinite(np.asarray(L)[1]).all()
+    assert not np.isfinite(np.asarray(Linv)[1]).all()
+
+
+def test_near_identity_inverse_precision():
+    """The NatGrad G = I + O(gamma) case: inverse error ~roundoff."""
+    rng = np.random.RandomState(3)
+    E = rng.randn(6, 384, 384)
+    E = 1e-3 * (E + np.swapaxes(E, -1, -2))
+    S = np.broadcast_to(np.eye(384), (6, 384, 384)) + E
+    L, Linv = pallas_linalg.chol_inv_batched(jnp.asarray(S), interpret=True)
+    eye = np.asarray(Linv) @ np.asarray(L)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(384), eye.shape),
+                               atol=1e-12)
