@@ -93,21 +93,32 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
     else:
         if Lp is None:
             Lp = cholesky(K)  # [M, M]
-        alpha = solve_triangular_mrhs(Lp, q_mu, lower=True)  # Lp^-1 m, [M, R]
         # sum_r tr(K^-1 S_r) = tr(K^-1 T) with T = sum_r Lq_r Lq_r^T,
         # computed as tr(solve(Lp^T, solve(Lp, T))).  Equivalent to
         # ||Lp^-1 Lq||_F^2 summed over r, but the R-fold work moves from an
         # R*M-rhs triangular solve (TRSM runs ~25 TF/s on this chip, and
-        # its VJP is ANOTHER R*M-rhs solve) into one [M, R*M] @ [R*M, M]
-        # MXU matmul; the remaining solves carry M rhs each, independent
-        # of R.  Profiled on the M=1024 config the old form was the
-        # single largest compute bucket (~700us fwd + its share of 1.1ms
-        # of solve-backward TRSM per step).
-        B = jnp.swapaxes(Lq, 0, 1).reshape(M, -1)            # [M, R*M]
-        T = B @ B.T                                          # [M, M]
-        V = lax.linalg.triangular_solve(Lp, T, left_side=True, lower=True)
-        X = lax.linalg.triangular_solve(Lp, V, left_side=True, lower=True,
-                                        transpose_a=True)
+        # its VJP is ANOTHER R*M-rhs solve) into one MXU contraction; the
+        # remaining solves carry M rhs each, independent of R.  Profiled on
+        # the M=1024 config the old form was the single largest compute
+        # bucket (~700us fwd + its share of 1.1ms of solve-backward TRSM
+        # per step).
+        #
+        # T is ONE dot_general contracting over (r, k) — the earlier
+        # reshape-to-[M, R*M] matmul form materialized a {1,0}->{0,1}
+        # layout copy of the 40MB stack in BOTH directions at M=1024
+        # (~94us/step of pure data movement, tools/roofline.py).
+        T = jnp.einsum('rmk,rnk->mn', Lq, Lq)                # [M, M]
+        # The Mahalanobis solve rides the SAME triangular-solve call as the
+        # trace term (T first: its block stays lane-aligned; the R-column
+        # q_mu tail is tiny) — TRSM custom calls are latency-bound, so one
+        # [M, M+R]-rhs call beats an [M, M] plus an [M, R] call, and its
+        # VJP is likewise one solve instead of two.
+        V = lax.linalg.triangular_solve(
+            Lp, jnp.concatenate([T, q_mu], axis=1),
+            left_side=True, lower=True)                      # [M, M+R]
+        alpha = V[:, M:]                                     # Lp^-1 m
+        X = lax.linalg.triangular_solve(Lp, V[:, :M], left_side=True,
+                                        lower=True, transpose_a=True)
         trace = jnp.trace(X)
         # Masked elementwise log (see logdet_q below): jnp.diagonal's
         # backward is a scatter-add into a fresh [M, M].

@@ -160,27 +160,36 @@ def main():
                     choices=['flagship', 'natgrad', 'm1024'])
     ap.add_argument('--steps', type=int, default=200)
     ap.add_argument('--trace-dir', default='/tmp/deepcgp_roofline')
+    ap.add_argument('--bucket-detail', default=None,
+                    help="also print the top ops of this bucket "
+                         "(e.g. copies/layout)")
+    ap.add_argument('--parse-only', action='store_true',
+                    help="re-parse the newest trace under --trace-dir "
+                         "without touching the TPU")
     args = ap.parse_args()
 
-    import jax
+    if not args.parse_only:
+        import jax
 
-    from deepcgp_tpu.training import trainer
-    from deepcgp_tpu.utils import profiling
+        from deepcgp_tpu.training import trainer
+        from deepcgp_tpu.utils import profiling
 
-    _log(f"devices: {jax.devices()}")
-    state, tc, Xd, Yd = build_and_warm(args.config, args.steps)
+        _log(f"devices: {jax.devices()}")
+        state, tc, Xd, Yd = build_and_warm(args.config, args.steps)
 
-    # Steady-state timing (no trace overhead).
-    t0 = time.time()
-    state, elbos = trainer.run_chunk(state, tc, Xd, Yd, args.steps)
-    jax.block_until_ready(elbos)
-    wall = time.time() - t0
-    _log(f"steady-state: {args.steps / wall:.1f} steps/s")
-
-    os.system(f'rm -rf {args.trace_dir}')
-    with profiling.trace(args.trace_dir):
+        # Steady-state timing (no trace overhead).
+        t0 = time.time()
         state, elbos = trainer.run_chunk(state, tc, Xd, Yd, args.steps)
         jax.block_until_ready(elbos)
+        wall = time.time() - t0
+        _log(f"steady-state: {args.steps / wall:.1f} steps/s")
+
+        os.system(f'rm -rf {args.trace_dir}')
+        with profiling.trace(args.trace_dir):
+            state, elbos = trainer.run_chunk(state, tc, Xd, Yd, args.steps)
+            jax.block_until_ready(elbos)
+    else:
+        wall = float('nan')
 
     per_op, op_meta, total, path = parse_trace(args.trace_dir)
     _log(f"trace: {path}; device total {total * 1e3:.1f} ms over "
@@ -201,6 +210,16 @@ def main():
         meta = op_meta.get(name, '')[:110]
         print(f"{dur / args.steps * 1e6:9.1f} us  {100 * dur / total:5.1f}%  "
               f"{name[:80]}  | {meta}")
+
+    if args.bucket_detail:
+        print(f"-- top 25 ops in bucket '{args.bucket_detail}' --")
+        rows = [(name, dur) for name, dur in per_op.most_common()
+                if bucket_of(name, op_meta.get(name, ''))
+                == args.bucket_detail]
+        for name, dur in rows[:25]:
+            meta = op_meta.get(name, '')[:140]
+            print(f"{dur / args.steps * 1e6:9.1f} us  "
+                  f"{100 * dur / total:5.1f}%  {name[:80]}  | {meta}")
 
 
 if __name__ == '__main__':
