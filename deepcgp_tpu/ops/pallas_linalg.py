@@ -48,55 +48,57 @@ def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
     Two serial recurrences of P steps each — the irreducible sequential
     depth of a Cholesky — with every step a [b, P, P] VPU op, so the cost
     is (nearly) independent of b instead of linear in it.
+
+    The recurrences are STATICALLY UNROLLED: a lax.fori_loop body here
+    costs ~2us of loop machinery per iteration on Mosaic (768 iterations
+    made the kernel no faster than the serial XLA custom call it
+    replaces); with static j every column/pivot access is a static slice
+    and the whole factorization is one straight-line vector program.
+
+    MASK-FREE formulation (second generation — the first spent ~4 full
+    [b, P, P] masked selects per step keeping the processed region
+    pristine): the rank-1 downdate at step j only has to be correct on
+    the trailing block (rows, cols > j) — every entry it pollutes in the
+    processed region is never read again — so it runs UNMASKED as one
+    fused multiply-subtract; the scaled row needed for the outer product
+    comes from the matrix's own row j (D stays symmetric on the valid
+    region), killing the per-step [b, P, 1] -> [b, 1, P] relayout; and
+    factor columns / inverse rows are committed by tiny static-slice
+    REF stores instead of whole-matrix wheres.  Net: ONE big VPU op per
+    chol step and two per inverse step.
     """
     D = D_ref[:]
     b, P, _ = D.shape
     dtype = D.dtype
-    rows = lax.broadcasted_iota(jnp.int32, (P, P), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (P, P), 1)
     ridx = lax.broadcasted_iota(jnp.int32, (P, 1), 0)      # row index
     colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)     # lane index
-    zero = jnp.zeros((), dtype)
 
-    # The recurrences are STATICALLY UNROLLED: a lax.fori_loop body here
-    # costs ~2us of loop machinery per iteration on Mosaic (768 iterations
-    # made the kernel no faster than the serial XLA custom call it
-    # replaces); with static j every column/pivot access is a static
-    # slice and the whole factorization is one straight-line vector
-    # program.  The masks are compile-time constants.
-    def chol_body(j, D):
-        colj = D[:, :, j:j + 1]                                # [b, P, 1]
-        djj = colj[:, j:j + 1]                                 # [b, 1, 1]
-        cvec = colj * lax.rsqrt(djj)                           # scaled col j
-        # Rank-1 downdate of the trailing submatrix (square region; the
-        # input is symmetric so updating its upper mirror is consistent).
-        upd = D - cvec * jnp.swapaxes(cvec, 1, 2)
-        D = jnp.where(((rows > j) & (cols > j))[None], upd, D)
-        # Commit column j of the factor (zeros above the diagonal).
-        newcol = jnp.where((rows >= j)[None], cvec, zero)
-        return jnp.where((cols == j)[None], newcol, D)
-
-    L = D
     for j in range(P):
-        L = chol_body(j, L)
-    L = jnp.where((rows >= cols)[None], L, zero)
-    L_ref[:] = L
+        colj = D[:, :, j:j + 1]                            # [b, P, 1]
+        rowj = D[:, j:j + 1, :]                            # [b, 1, P]
+        inv_piv = lax.rsqrt(colj[:, j:j + 1])              # [b, 1, 1]
+        cvec = colj * inv_piv                              # valid rows >= j
+        crow = rowj * inv_piv                              # valid cols >= j
+        # Column j of the factor (rows < j hold stale values — zero them
+        # here; this is the only masked op, on a [b, P, 1] sliver).
+        L_ref[:, :, j:j + 1] = jnp.where(ridx >= j, cvec,
+                                         jnp.zeros((), dtype))
+        if j + 1 < P:
+            D = D - cvec * crow                            # unmasked downdate
 
-    def inv_body(i, X):
-        rowi = L[:, i:i + 1, :]                                # [b, 1, P]
-        lii = rowi[:, :, i:i + 1]                              # [b, 1, 1]
-        rowm = jnp.where(colid < i, rowi, zero)
-        # contrib[q] = sum_{p<i} L[i,p] X[p,q]
-        contrib = jnp.sum(jnp.swapaxes(rowm, 1, 2) * X, axis=1,
-                          keepdims=True)                       # [b, 1, P]
-        onehot = (colid == i).astype(dtype)
-        newrow = (onehot - contrib) / lii
-        return jnp.where((rows == i)[None], newrow, X)
-
-    X = jnp.zeros((b, P, P), dtype)
+    # Forward substitution for X = L^-1, one row per step:
+    #   X[i, :] = (e_i - sum_{p<i} L[i, p] X[p, :]) / L[i, i].
+    # The ref is zeroed first, so summing over ALL p is exact: L[i, p] = 0
+    # for p > i (tril) and X[i, :] = 0 while still unwritten — no masks.
+    L = L_ref[:]
+    LT = jnp.swapaxes(L, 1, 2)          # one relayout; LT[:, p, i] = L[i, p]
+    Linv_ref[:] = jnp.zeros((b, P, P), dtype)
     for i in range(P):
-        X = inv_body(i, X)
-    Linv_ref[:] = X
+        w = LT[:, :, i:i + 1]                              # [b, P, 1]
+        contrib = jnp.sum(w * Linv_ref[:], axis=1, keepdims=True)
+        onehot = (colid == i).astype(dtype)
+        lii = L[:, i:i + 1, i:i + 1]
+        Linv_ref[:, i:i + 1, :] = (onehot - contrib) / lii
 
 
 def chol_inv_base(D: jax.Array, *, interpret: bool = False):
