@@ -101,18 +101,66 @@ def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
         Linv_ref[:, i:i + 1, :] = (onehot - contrib) / lii
 
 
-def chol_inv_base(D: jax.Array, *, interpret: bool = False):
-    """[b, P, P] symmetric -> (chol(D), chol(D)^-1), one Pallas call."""
+def _chol_inv_base_kernel_upper(D_ref, R_ref, Rinv_ref):
+    """Upper-triangular mirror of :func:`_chol_inv_base_kernel`:
+    D [b, P, P] symmetric -> R UPPER-triangular with R R^T = D, and
+    Rinv = R^-1 (upper).  Same mask-free structure, recurrences running
+    from the bottom-right corner — this IS the Cholesky of the
+    index-reversed matrix without materializing the [..., ::-1, ::-1]
+    reverses the NatGrad exchange identity otherwise needs (two
+    [B, M, M] reverse ops per step in the trace)."""
+    D = D_ref[:]
+    b, P, _ = D.shape
+    dtype = D.dtype
+    ridx = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+
+    for j in range(P - 1, -1, -1):
+        colj = D[:, :, j:j + 1]                            # valid rows <= j
+        rowj = D[:, j:j + 1, :]                            # valid cols <= j
+        inv_piv = lax.rsqrt(colj[:, j:j + 1])
+        cvec = colj * inv_piv
+        crow = rowj * inv_piv
+        R_ref[:, :, j:j + 1] = jnp.where(ridx <= j, cvec,
+                                         jnp.zeros((), dtype))
+        if j > 0:
+            D = D - cvec * crow
+
+    # Back substitution for X = R^-1, bottom row first:
+    #   X[i, :] = (e_i - sum_{p>i} R[i, p] X[p, :]) / R[i, i];
+    # zero-init + triu structure again make the full sum exact unmasked.
+    R = R_ref[:]
+    RT = jnp.swapaxes(R, 1, 2)
+    Rinv_ref[:] = jnp.zeros((b, P, P), dtype)
+    for i in range(P - 1, -1, -1):
+        w = RT[:, :, i:i + 1]
+        contrib = jnp.sum(w * Rinv_ref[:], axis=1, keepdims=True)
+        onehot = (colid == i).astype(dtype)
+        rii = R[:, i:i + 1, i:i + 1]
+        Rinv_ref[:, i:i + 1, :] = (onehot - contrib) / rii
+
+
+def _base_call(kernel, D: jax.Array, *, interpret: bool = False):
     b, P, _ = D.shape
     out = jax.ShapeDtypeStruct((b, P, P), D.dtype)
     return pl.pallas_call(
-        _chol_inv_base_kernel,
+        kernel,
         out_shape=(out, out),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(D)
+
+
+def chol_inv_base(D: jax.Array, *, interpret: bool = False):
+    """[b, P, P] symmetric -> (chol(D), chol(D)^-1), one Pallas call."""
+    return _base_call(_chol_inv_base_kernel, D, interpret=interpret)
+
+
+def chol_inv_base_upper(D: jax.Array, *, interpret: bool = False):
+    """[b, P, P] symmetric -> (R, R^-1) with R upper, R R^T = D."""
+    return _base_call(_chol_inv_base_kernel_upper, D, interpret=interpret)
 
 
 def chol_inv_batched(A: jax.Array, *, panel: int = 32,
@@ -175,3 +223,65 @@ def chol_inv_batched(A: jax.Array, *, panel: int = 32,
         jnp.concatenate([Xb.get((i, j), zero) for j in range(np_)], axis=2)
         for i in range(np_)], axis=1)
     return L, Linv
+
+
+def chol_inv_batched_upper(A: jax.Array, *, panel: int = 32,
+                           interpret: bool = False):
+    """Upper-triangular mirror of :func:`chol_inv_batched`:
+    A [B, M, M] SPD -> (R, Rinv) with R UPPER-triangular, R R^T = A,
+    Rinv = R^-1.  Equivalent to flipping both index axes of
+    ``chol_inv_batched(A[..., ::-1, ::-1])`` but with zero reverse ops:
+    the blocked recurrence simply starts at the bottom-right corner.
+
+    Block identities (R = [[R11, R12], [0, R22]]):
+        A22 = R22 R22^T          (trailing base case first)
+        R12 = A12 R22^-T         (panel solve)
+        A11 - R12 R12^T = R11 R11^T   (leading-block recursion)
+    and for X = R^-1 (upper): X[c][c] = Dinv_c,
+        X[i][c] = -Dinv_i sum_{i<l<=c} R[i][l] X[l][c]   (i < c).
+    """
+    B, M, M2 = A.shape
+    P = min(panel, M)
+    assert M == M2 and M % P == 0, (B, M, M2, panel)
+    np_ = M // P
+    HI = lax.Precision.HIGHEST
+
+    if np_ == 1:
+        return chol_inv_base_upper(A, interpret=interpret)
+    PANEL_ = P
+
+    Rb = {}      # (i, k) -> [B, P, P] block of R, i <= k
+    Dinv = {}    # k -> inverse of diagonal block k
+    rem = A
+    for k in range(np_ - 1, 0, -1):
+        Rkk, Rkkinv = chol_inv_base_upper(rem[:, -PANEL_:, -PANEL_:],
+                                          interpret=interpret)
+        Rb[(k, k)] = Rkk
+        Dinv[k] = Rkkinv
+        A12 = rem[:, :-PANEL_, -PANEL_:]                 # [B, kP, P]
+        R12 = jnp.einsum('brp,bqp->brq', A12, Rkkinv, precision=HI)
+        rem = rem[:, :-PANEL_, :-PANEL_] - jnp.einsum(
+            'brp,bsp->brs', R12, R12, precision=HI)
+        for i in range(k):
+            Rb[(i, k)] = R12[:, i * PANEL_:(i + 1) * PANEL_]
+    Rb[(0, 0)], Dinv[0] = chol_inv_base_upper(rem, interpret=interpret)
+
+    Xb = {}
+    for c in range(np_):
+        Xb[(c, c)] = Dinv[c]
+        for i in range(c - 1, -1, -1):
+            acc = 0.0
+            for l in range(i + 1, c + 1):
+                acc = acc + jnp.einsum('bij,bjk->bik', Rb[(i, l)],
+                                       Xb[(l, c)], precision=HI)
+            Xb[(i, c)] = -jnp.einsum('bij,bjk->bik', Dinv[i], acc,
+                                     precision=HI)
+
+    zero = jnp.zeros((B, PANEL_, PANEL_), A.dtype)
+    R = jnp.concatenate([
+        jnp.concatenate([Rb.get((i, j), zero) for j in range(np_)], axis=2)
+        for i in range(np_)], axis=1)
+    Rinv = jnp.concatenate([
+        jnp.concatenate([Xb.get((i, j), zero) for j in range(np_)], axis=2)
+        for i in range(np_)], axis=1)
+    return R, Rinv

@@ -240,22 +240,32 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
     H = 0.5 * (P + jnp.swapaxes(P, -1, -2))      # sym(phi(W^T dW))
     M = W.shape[-1]
     G = 2.0 * gamma * H + jnp.eye(M, dtype=W.dtype)
-    Gf = G[..., ::-1, ::-1]                      # J G J
+    # The exchange-identity factor in UPPER form: G = R R^T with R
+    # upper-triangular gives U = R^-T — lower-triangular with positive
+    # diagonal and U U^T = G^-1 — so W_new = W R^-T directly; the
+    # transpose is absorbed into the dot_general's contracting dims
+    # (both operands contract their LAST axis; no transpose copy).
     if _use_pallas_factor(W.dtype, M):
         # Batch-parallel chol + triangular inverse in one Pallas-based
         # pass: XLA's batched chol/TRSM custom calls run the batch
         # SERIALLY ([20,384,384]: chol ~1.25ms + TRSM ~610us on v5e);
         # the Pallas path amortizes the serial panel recurrences across
-        # the batch (ops/pallas_linalg.py).  G is near-identity, so the
-        # explicit inverse is numerically benign here.
-        _, Lgfinv = pallas_linalg.chol_inv_batched(Gf)
+        # the batch (ops/pallas_linalg.py), and its upper variant starts
+        # at the bottom-right corner, so the two [R, M, M] index
+        # reverses of the explicit J...J sandwich disappear.  G is
+        # near-identity, so the explicit inverse is numerically benign.
+        _, Rinv = pallas_linalg.chol_inv_batched_upper(G)
     else:
-        Lgf = jnp.linalg.cholesky(Gf)
+        # XLA route (CPU meshes, f64 oracles): lower Cholesky of the
+        # index-reversed matrix, then R^-1 = J Lgf^-1 J (flip both axes,
+        # no transpose).
+        Lgf = jnp.linalg.cholesky(G[..., ::-1, ::-1])
         I = jnp.broadcast_to(jnp.eye(M, dtype=W.dtype), W.shape)
         Lgfinv = lax.linalg.triangular_solve(Lgf, I, left_side=True,
                                              lower=True)
-    U = jnp.swapaxes(Lgfinv, -1, -2)[..., ::-1, ::-1]   # J Lgf^-T J, lower
-    W_new = jnp.matmul(W, U, precision=lax.Precision.HIGHEST)
+        Rinv = Lgfinv[..., ::-1, ::-1]
+    W_new = jnp.einsum('rmk,rnk->rmn', W, Rinv,
+                       precision=lax.Precision.HIGHEST)    # W R^-T
     # mu_new = mu - g W_new (W_new^T dmu): two matvecs, no S_new needed.
     t = jnp.einsum('rmn,rm->rn', W_new, dmu,
                    precision=lax.Precision.HIGHEST)           # W_new^T dmu

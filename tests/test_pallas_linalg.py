@@ -58,6 +58,32 @@ def test_non_pd_input_yields_nonfinite():
     assert not np.isfinite(np.asarray(Linv)[1]).all()
 
 
+@pytest.mark.parametrize('M', [128, 384])
+def test_upper_chol_inv_matches_flipped_lower(M):
+    """chol_inv_batched_upper(A) == both-axes flip of
+    chol_inv_batched(flip(A)) — the identity the flip-free NatGrad
+    factorization rests on — and R R^T reconstructs A."""
+    rng = np.random.RandomState(4)
+    S = _spd(rng, 5, M)
+    R, Rinv = pallas_linalg.chol_inv_batched_upper(jnp.asarray(S),
+                                                   interpret=True)
+    R, Rinv = np.asarray(R), np.asarray(Rinv)
+    Lf, Lfinv = pallas_linalg.chol_inv_batched(
+        jnp.asarray(S[..., ::-1, ::-1]), interpret=True)
+    np.testing.assert_allclose(R, np.asarray(Lf)[..., ::-1, ::-1],
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(Rinv, np.asarray(Lfinv)[..., ::-1, ::-1],
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2), S,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(Rinv @ R,
+                               np.broadcast_to(np.eye(M), R.shape),
+                               atol=1e-9)
+    # Strictly UPPER triangular (exact zeros below the diagonal).
+    assert (np.tril(R, -1) == 0).all()
+    assert (np.tril(Rinv, -1) == 0).all()
+
+
 def test_near_identity_inverse_precision():
     """The NatGrad G = I + O(gamma) case: inverse error ~roundoff."""
     rng = np.random.RandomState(3)
