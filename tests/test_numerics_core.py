@@ -170,3 +170,4 @@ def test_self_gram_uses_exact_precision():
         lambda x: square_distance(x, x + 1.0))(X))
     assert 'HIGHEST' in self_jaxpr
     assert 'HIGHEST' not in cross_jaxpr
+
