@@ -38,7 +38,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PANEL = 128   # default/max panel; see chol_inv_batched(panel=...)
+# Default driver panel.  Measured end-to-end on v5e (NatGrad flagship,
+# M=384 -> 6/12/3 panels): panel=32 -> 380 steps/s, panel=64 -> 426.6,
+# panel=128 -> 414.6.  64 balances the two costs: fewer panels means
+# fewer dispatch-bound tiny block einsums in the driver (the panel=32
+# loss), while the base kernel's serial recurrence depth stays half of
+# panel=128's (74us/call at 128 vs 21us at 64).
+PANEL = 64
 
 
 def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
@@ -163,7 +169,7 @@ def chol_inv_base_upper(D: jax.Array, *, interpret: bool = False):
     return _base_call(_chol_inv_base_kernel_upper, D, interpret=interpret)
 
 
-def chol_inv_batched(A: jax.Array, *, panel: int = 32,
+def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
                      interpret: bool = False):
     """Blocked right-looking Cholesky of a batch of SPD matrices, plus the
     explicit inverse of the factor: A [B, M, M] (M a multiple of 128) ->
@@ -225,7 +231,7 @@ def chol_inv_batched(A: jax.Array, *, panel: int = 32,
     return L, Linv
 
 
-def chol_inv_batched_upper(A: jax.Array, *, panel: int = 32,
+def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
                            interpret: bool = False):
     """Upper-triangular mirror of :func:`chol_inv_batched`:
     A [B, M, M] SPD -> (R, Rinv) with R UPPER-triangular, R R^T = A,

@@ -254,6 +254,8 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
         # at the bottom-right corner, so the two [R, M, M] index
         # reverses of the explicit J...J sandwich disappear.  G is
         # near-identity, so the explicit inverse is numerically benign.
+        # Default panel=64 measured best end-to-end (380/426.6/414.6
+        # steps/s at panel 32/64/128 on the NatGrad flagship).
         _, Rinv = pallas_linalg.chol_inv_batched_upper(G)
     else:
         # XLA route (CPU meshes, f64 oracles): lower Cholesky of the

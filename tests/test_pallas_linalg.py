@@ -16,11 +16,15 @@ def _spd(rng, B, M, jitter=2.0):
     return S
 
 
+@pytest.mark.parametrize('panel', [32, 64, 128])
 @pytest.mark.parametrize('M', [128, 256, 384])
-def test_chol_inv_matches_numpy(M):
+def test_chol_inv_matches_numpy(M, panel):
+    if M % panel:
+        pytest.skip('panel must divide M')
     rng = np.random.RandomState(0)
     S = _spd(rng, 5, M)
-    L, Linv = pallas_linalg.chol_inv_batched(jnp.asarray(S), interpret=True)
+    L, Linv = pallas_linalg.chol_inv_batched(jnp.asarray(S), panel=panel,
+                                             interpret=True)
     L, Linv = np.asarray(L), np.asarray(Linv)
     ref = np.linalg.cholesky(S)
     np.testing.assert_allclose(L, ref, rtol=1e-9, atol=1e-11)
@@ -58,18 +62,22 @@ def test_non_pd_input_yields_nonfinite():
     assert not np.isfinite(np.asarray(Linv)[1]).all()
 
 
+@pytest.mark.parametrize('panel', [32, 64, 128])
 @pytest.mark.parametrize('M', [128, 384])
-def test_upper_chol_inv_matches_flipped_lower(M):
+def test_upper_chol_inv_matches_flipped_lower(M, panel):
     """chol_inv_batched_upper(A) == both-axes flip of
     chol_inv_batched(flip(A)) — the identity the flip-free NatGrad
     factorization rests on — and R R^T reconstructs A."""
+    if M % panel:
+        pytest.skip('panel must divide M')
     rng = np.random.RandomState(4)
     S = _spd(rng, 5, M)
     R, Rinv = pallas_linalg.chol_inv_batched_upper(jnp.asarray(S),
+                                                   panel=panel,
                                                    interpret=True)
     R, Rinv = np.asarray(R), np.asarray(Rinv)
     Lf, Lfinv = pallas_linalg.chol_inv_batched(
-        jnp.asarray(S[..., ::-1, ::-1]), interpret=True)
+        jnp.asarray(S[..., ::-1, ::-1]), panel=panel, interpret=True)
     np.testing.assert_allclose(R, np.asarray(Lf)[..., ::-1, ::-1],
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(Rinv, np.asarray(Lfinv)[..., ::-1, ::-1],
