@@ -1,6 +1,7 @@
 """Oracle-parity tests for the numerics core (SURVEY.md §7 stage 1-2)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -108,6 +109,45 @@ def test_gauss_kl_matches_oracle(use_K):
                           None if K is None else jnp.asarray(K))
     want = oracle.gauss_kl(q_mu, q_sqrt, K)
     np.testing.assert_allclose(float(got), want, rtol=1e-9)
+
+
+@pytest.mark.parametrize("use_K", [False, True])
+def test_gauss_kl_gradients_match_plain_autodiff(use_K):
+    """The custom-VJP diagonal-residual logdet (linalg.tril_logdet) must
+    produce gradients identical to plain autodiff of the masked-log form
+    it replaced — pins the backward formula g/diag on the diagonal."""
+    M, R = 9, 3
+    q_mu = jnp.asarray(RNG.randn(M, R))
+    q_sqrt = jnp.asarray(np.tril(RNG.randn(R, M, M)) + 2 * np.eye(M))
+    K = jnp.asarray(_random_spd(M)) if use_K else None
+
+    def plain_kl(q_mu, q_sqrt, K):
+        Lq = jnp.tril(q_sqrt)
+        eye = jnp.eye(M, dtype=q_sqrt.dtype)
+        logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(Lq * eye + (1.0 - eye))))
+        if K is None:
+            alpha, trace = q_mu, jnp.sum(jnp.square(Lq))
+            logdet_p = jnp.zeros((), q_mu.dtype)
+        else:
+            Lp = jnp.linalg.cholesky(K)
+            # ||Lp^-1 Lq_r||_F^2 summed over r, via an explicit loop.
+            trace = sum(jnp.sum(jnp.square(jax.scipy.linalg.solve_triangular(
+                Lp, Lq[r], lower=True))) for r in range(R))
+            alpha = jax.scipy.linalg.solve_triangular(Lp, q_mu, lower=True)
+            eye_p = jnp.eye(M, dtype=K.dtype)
+            logdet_p = R * 2.0 * jnp.sum(jnp.log(jnp.abs(
+                Lp * eye_p + (1.0 - eye_p))))
+        return 0.5 * (trace + jnp.sum(jnp.square(alpha))
+                      - M * R - logdet_q + logdet_p)
+
+    args = (q_mu, q_sqrt) if K is None else (q_mu, q_sqrt, K)
+    got = jax.grad(lambda *a: linalg.gauss_kl(*a), argnums=tuple(
+        range(len(args))))(*args)
+    want = jax.grad(lambda *a: plain_kl(*a, *(() if use_K else (None,))),
+                    argnums=tuple(range(len(args))))(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-9, atol=1e-11)
 
 
 @pytest.mark.parametrize("stride", [1, 2, 3])
