@@ -76,6 +76,7 @@ def _bench_config(tag, flags, optimizer, X, Y, steps=300):
     # Efficiency: analytic MXU FLOPs/step -> TFLOP/s -> % of chip peak,
     # cross-checked against XLA's own cost analysis of the compiled chunk.
     fl = flops_lib.training_step_flops(model, flags.batch_size)
+    hw_fl = flops_lib.training_step_hardware_flops(model, flags.batch_size)
     peak = flops_lib.device_peak_flops(jax.devices()[0])
     tflops = fl * steps_per_sec / 1e12
     mfu = 100.0 * tflops * 1e12 / peak if peak == peak else float('nan')
@@ -96,7 +97,8 @@ def _bench_config(tag, flags, optimizer, X, Y, steps=300):
     except Exception as e:
         _log(f"[{tag}] cost_analysis unavailable: {e}")
     _log(f"[{tag}] {steps_per_sec:.1f} steps/s | analytic "
-         f"{fl / 1e9:.2f} GFLOP/step (XLA cost-analysis "
+         f"{fl / 1e9:.2f} model GFLOP/step (inverse-form implementation "
+         f"executes {hw_fl / 1e9:.2f}; XLA cost-analysis "
          f"{xla_fl / 1e9:.2f}, scan body counted once) | "
          f"{tflops:.2f} TFLOP/s | "
          f"MFU {mfu:.1f}% of {peak / 1e12:.0f} TFLOP/s peak "

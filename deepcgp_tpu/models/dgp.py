@@ -82,28 +82,31 @@ class DGP:
 
     def precompute(self):
         """Per-layer caches with all same-shape Kuu grams (conditional +
-        frozen KL priors) factorized in ONE batched Cholesky custom call per
-        distinct M — Cholesky custom calls are latency-bound, so three
-        separate [384, 384] factorizations cost ~3x one [3, 384, 384] call
-        (measured ~190us -> ~65us/step on the flagship)."""
+        frozen KL priors) factorized — WITH their explicit factor inverses
+        (linalg.chol_with_inv) — in ONE batched call per distinct M.
+        Factorization custom calls are latency-bound and serial in the
+        batch on TPU, so the stack shares one batch-parallel Pallas
+        factorization; the inverses turn every downstream triangular
+        solve (conditional + gauss_kl, forward AND backward) into
+        HIGHEST-precision MXU matmuls."""
         from deepcgp_tpu.ops import linalg
         grams = [layer.kuu_grams() for layer in self.layers]
         flat = [g for gs in grams for g in gs]
-        chols: list = [None] * len(flat)
+        pairs: list = [None] * len(flat)
         by_shape: dict = {}
         for i, g in enumerate(flat):
             by_shape.setdefault(g.shape, []).append(i)
         for idxs in by_shape.values():
             if len(idxs) == 1:
-                chols[idxs[0]] = linalg.cholesky(flat[idxs[0]])
+                pairs[idxs[0]] = linalg.chol_with_inv(flat[idxs[0]])
             else:
-                batched = linalg.cholesky(
+                Lb, Lib = linalg.chol_with_inv(
                     jnp.stack([flat[i] for i in idxs]))
                 for k, i in enumerate(idxs):
-                    chols[i] = batched[k]
+                    pairs[i] = (Lb[k], Lib[k])
         caches, pos = [], 0
         for layer, gs in zip(self.layers, grams):
-            caches.append(layer.make_cache(tuple(chols[pos:pos + len(gs)])))
+            caches.append(layer.make_cache(tuple(pairs[pos:pos + len(gs)])))
             pos += len(gs)
         return tuple(caches)
 

@@ -40,6 +40,11 @@ class LayerCache(typing.NamedTuple):
     # white or when the cache was built outside DGP.precompute's batched
     # factorization).
     Lp: typing.Any = None
+    # Explicit factor inverses (linalg.chol_with_inv): downstream solves
+    # run as HIGHEST-precision matmuls with a matmul-only backward, in
+    # place of TRSM/Cholesky-VJP custom-call chains.  None => solve path.
+    Lm_inv: typing.Any = None
+    Lp_inv: typing.Any = None
 
 
 @functools.partial(jax.jit, static_argnames=('count', 'scale'))
@@ -140,12 +145,18 @@ class ConvLayer:
         return (self.conv_kernel.Kuu(self.Z),
                 self.conv_kernel.Kuu(jax.lax.stop_gradient(self.Z0)))
 
-    def make_cache(self, chols: tuple) -> LayerCache:
-        return LayerCache(Lm=chols[0],
-                          Lp=None if self.white else chols[1])
+    def make_cache(self, pairs: tuple) -> LayerCache:
+        """``pairs``: one (L, L^-1) per gram from :meth:`kuu_grams`, as
+        produced by ``linalg.chol_with_inv`` (DGP.precompute batches the
+        factorizations across the stack)."""
+        Lm, Lm_inv = pairs[0]
+        if self.white:
+            return LayerCache(Lm=Lm, Lm_inv=Lm_inv)
+        Lp, Lp_inv = pairs[1]
+        return LayerCache(Lm=Lm, Lp=Lp, Lm_inv=Lm_inv, Lp_inv=Lp_inv)
 
     def precompute(self) -> LayerCache:
-        return self.make_cache(tuple(linalg.cholesky(g)
+        return self.make_cache(tuple(linalg.chol_with_inv(g)
                                      for g in self.kuu_grams()))
 
     def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
@@ -191,7 +202,7 @@ class ConvLayer:
         mean, var = multi_output_conditional(
             Kuf, None, Knn, self.q_mu, full_cov=full_cov,
             q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm,
-            layout='pnm')
+            Lm_inv=cache.Lm_inv, layout='pnm')
 
         if full_cov:
             var = jnp.transpose(var, (2, 3, 1, 0)).reshape(
@@ -220,7 +231,8 @@ class ConvLayer:
         if self.white:
             return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
         if cache is not None and cache.Lp is not None:
-            return linalg.gauss_kl(self.q_mu, self.q_sqrt, Lp=cache.Lp)
+            return linalg.gauss_kl(self.q_mu, self.q_sqrt, Lp=cache.Lp,
+                                   Lp_inv=cache.Lp_inv)
         Kp = self.conv_kernel.Kuu(jax.lax.stop_gradient(self.Z0))
         return linalg.gauss_kl(self.q_mu, self.q_sqrt, Kp)
 
@@ -331,11 +343,12 @@ class SVGPLayer:
         its conditional Cholesky doubles as the KL prior factor."""
         return (self._Kuu(self.Z),)
 
-    def make_cache(self, chols: tuple) -> LayerCache:
-        return LayerCache(Lm=chols[0])
+    def make_cache(self, pairs: tuple) -> LayerCache:
+        Lm, Lm_inv = pairs[0]
+        return LayerCache(Lm=Lm, Lm_inv=Lm_inv)
 
     def precompute(self) -> LayerCache:
-        return self.make_cache((linalg.cholesky(self._Kuu(self.Z)),))
+        return self.make_cache((linalg.chol_with_inv(self._Kuu(self.Z)),))
 
     def conditional_mean_var(self, cache: LayerCache, ND_X: jax.Array,
                              full_cov: bool = False):
@@ -359,7 +372,7 @@ class SVGPLayer:
         mean, var = multi_output_conditional(
             Kuf, None, Knn, self.q_mu, full_cov=full_cov,
             q_sqrt=self.q_sqrt, white=self.white, Lm=cache.Lm,
-            layout='pnm')
+            Lm_inv=cache.Lm_inv, layout='pnm')
         if full_cov:
             var = jnp.transpose(var[:, 0], (1, 2, 0))    # [N, N, R]
         else:
@@ -380,5 +393,6 @@ class SVGPLayer:
         if self.white:
             return linalg.gauss_kl(self.q_mu, self.q_sqrt, None)
         if cache is not None:
-            return linalg.gauss_kl(self.q_mu, self.q_sqrt, Lp=cache.Lm)
+            return linalg.gauss_kl(self.q_mu, self.q_sqrt, Lp=cache.Lm,
+                                   Lp_inv=cache.Lm_inv)
         return linalg.gauss_kl(self.q_mu, self.q_sqrt, self._Kuu(self.Z))

@@ -41,6 +41,7 @@ def multi_output_conditional(
     q_sqrt: jax.Array | None = None,
     white: bool = False,
     Lm: jax.Array | None = None,
+    Lm_inv: jax.Array | None = None,
     layout: str = 'pmn',
 ):
     """``layout``: 'pmn' takes Kmn as [P, M, N] (the reference layout);
@@ -55,14 +56,22 @@ def multi_output_conditional(
         Lm = linalg.cholesky(Kmm)
 
     R = f.shape[1]
+    HI = lax.Precision.HIGHEST
 
-    # Row form of A = Lm^-1 Kmn per patch: solve A Lm^T = Kmn with the
-    # P*N stacked rows kept M-minor (fold [P, N, M] -> [P*N, M]; the
-    # fold is layout-free since M is already innermost).
+    # Row form of A = Lm^-1 Kmn per patch, M-minor (fold [P, N, M] ->
+    # [P*N, M]; the fold is layout-free since M is already innermost).
+    # With a precomputed factor inverse (linalg.chol_with_inv) the solve
+    # is ONE HIGHEST-precision MXU matmul — same f32-level arithmetic as
+    # the TRSM custom call it replaces, but with no InvertDiagBlocks /
+    # block-panel latency and a backward that is again a matmul instead
+    # of another custom-call solve chain.
     shape = Kmn.shape
-    A = lax.linalg.triangular_solve(
-        Lm, Kmn.reshape(-1, shape[-1]), left_side=False,
-        lower=True, transpose_a=True).reshape(shape)
+    if Lm_inv is not None:
+        A = jnp.einsum('pnm,sm->pns', Kmn, Lm_inv, precision=HI)
+    else:
+        A = lax.linalg.triangular_solve(
+            Lm, Kmn.reshape(-1, shape[-1]), left_side=False,
+            lower=True, transpose_a=True).reshape(shape)
 
     if full_cov:
         # fvar[p] = Knn[p] - A[p] A[p]^T  (row form).
@@ -75,10 +84,13 @@ def multi_output_conditional(
     if not white:
         # Unwhitened: A <- A Lm^-1 (row form of Lm^-T A,
         # reference conditionals.py:44-47).
-        shape = A.shape
-        A = lax.linalg.triangular_solve(
-            Lm, A.reshape(-1, shape[-1]), left_side=False,
-            lower=True).reshape(shape)
+        if Lm_inv is not None:
+            A = jnp.einsum('pnm,mk->pnk', A, Lm_inv, precision=HI)
+        else:
+            shape = A.shape
+            A = lax.linalg.triangular_solve(
+                Lm, A.reshape(-1, shape[-1]), left_side=False,
+                lower=True).reshape(shape)
 
     # fmean = A f -> [N, P, R].
     fmean = jnp.einsum('pnm,mr->npr', A, f)

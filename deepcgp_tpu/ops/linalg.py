@@ -66,6 +66,79 @@ def solve_triangular_mrhs(L: jax.Array, B: jax.Array, *, lower: bool = True,
     return X
 
 
+# Precision for every matmul that APPLIES a triangular inverse (or backs
+# one up through the Cholesky VJP).  HIGHEST is the f32-equivalent MXU mode;
+# the round-1 `tri_inverse` experiment used default-precision matmuls —
+# single-pass bf16 on TPU — whose ~4e-3 relative error, amplified by the
+# factor's condition number, NaN'd f32 training.  That failure was the
+# precision, not the inverse.
+_INV_PRECISION = lax.Precision.HIGHEST
+
+
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.einsum('...ij,...jk->...ik', a, b, precision=_INV_PRECISION)
+
+
+def _chol_inv_impl(K: jax.Array):
+    """(chol(K), chol(K)^-1) for K [..., M, M] SPD (0 or 1 batch dims).
+
+    On TPU/f32 with a lane-tile-multiple M the pair comes from the Pallas
+    batch-parallel factorization (`ops/pallas_linalg.py` — XLA's batched
+    cholesky/TRSM custom calls execute the batch SERIALLY on TPU, and its
+    TRSM would be a second latency-bound call); everywhere else (CPU
+    tests, f64 oracles, odd M) it is the plain XLA Cholesky plus one
+    M-rhs triangular solve.  Both give NaN on a non-PD input, so callers'
+    finite checks keep working."""
+    M = K.shape[-1]
+    if (K.dtype == jnp.float32 and M % 64 == 0 and M <= 512
+            and K.ndim in (2, 3) and jax.default_backend() == 'tpu'):
+        from deepcgp_tpu.ops import pallas_linalg
+        KB = K[None] if K.ndim == 2 else K
+        L, Linv = pallas_linalg.chol_inv_batched(KB)
+        return (L[0], Linv[0]) if K.ndim == 2 else (L, Linv)
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.broadcast_to(jnp.eye(M, dtype=K.dtype), K.shape)
+    Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return L, Linv
+
+
+@jax.custom_vjp
+def chol_with_inv(K: jax.Array):
+    """Differentiable (L, L^-1) of an SPD K — the conditional's wide
+    triangular-solve chains (`conv_gp/conditionals.py:31-47`) become plain
+    MXU matmuls against L^-1, and this custom VJP keeps the BACKWARD free
+    of triangular-solve custom calls too: with L^-1 in hand, the Cholesky
+    reverse is pure matmuls,
+
+        Kbar = sym(L^-T . Phi(L^T Lbar) . L^-1),
+        Lbar += -L^-T gLinv L^-T   (cotangent of the inverse),
+
+    with Phi = tril with halved diagonal (the adjoint of the Cholesky
+    jvp's projector).  Pinned exactly against plain autodiff in
+    tests/test_numerics_core.py."""
+    return _chol_inv_impl(K)
+
+
+def _chol_with_inv_fwd(K):
+    out = _chol_inv_impl(K)
+    return out, out
+
+
+def _chol_with_inv_bwd(res, cots):
+    L, Linv = res
+    gL, gLinv = cots
+    T = lambda x: jnp.swapaxes(x, -1, -2)  # noqa: E731
+    Lbar = jnp.tril(gL - _mm(_mm(T(Linv), gLinv), T(Linv)))
+    P = _mm(T(L), Lbar)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Phi = jnp.tril(P) - 0.5 * (P * eye)
+    Kbar = _mm(_mm(T(Linv), Phi), Linv)
+    return (0.5 * (Kbar + T(Kbar)),)
+
+
+chol_with_inv.defvjp(_chol_with_inv_fwd, _chol_with_inv_bwd)
+
+
 def _diag_part(A: jax.Array) -> jax.Array:
     """[..., M, M] -> [..., M] diagonal via an eye-masked reduce — a single
     bandwidth-bound fusion; jnp.diagonal lowers to a gather whose BACKWARD
@@ -106,7 +179,8 @@ tril_logdet.defvjp(_tril_logdet_fwd, _tril_logdet_bwd)
 
 def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
              K: jax.Array | None = None, *,
-             Lp: jax.Array | None = None) -> jax.Array:
+             Lp: jax.Array | None = None,
+             Lp_inv: jax.Array | None = None) -> jax.Array:
     """KL[q(u) || p(u)] summed over independent GPs.
 
     Matches gpflow 1.x ``gauss_kl`` as used at `conv_gp/layers.py:137-147`:
@@ -124,10 +198,25 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
     M, R = q_mu.shape
     Lq = jnp.tril(q_sqrt)  # [R, M, M]
 
-    if K is None and Lp is None:
+    if K is None and Lp is None and Lp_inv is None:
         alpha = q_mu  # K^-1 m = m
         trace = jnp.sum(jnp.square(Lq))
         logdet_prior = jnp.zeros((), dtype=q_mu.dtype)
+    elif Lp_inv is not None:
+        assert Lp is not None, "Lp_inv requires its factor Lp (for logdet)"
+        # Inverse-matmul form (cache built by linalg.chol_with_inv): the
+        # trace term tr(K^-1 T) = <Lp^-T Lp^-1, T> and the Mahalanobis
+        # solve both become HIGHEST-precision MXU matmuls — no
+        # triangular-solve custom call in forward OR backward (the VJP of
+        # an einsum is einsums; Lp_inv's own backward is the matmul-only
+        # chol_with_inv VJP).
+        T_ = jnp.einsum('rmk,rnk->mn', Lq, Lq)               # [M, M]
+        W = jnp.einsum('km,kn->mn', Lp_inv, Lp_inv,
+                       precision=_INV_PRECISION)             # Lp^-T Lp^-1
+        trace = jnp.sum(W * T_)
+        alpha = jnp.einsum('mk,kr->mr', Lp_inv, q_mu,
+                           precision=_INV_PRECISION)         # Lp^-1 m
+        logdet_prior = R * 2.0 * tril_logdet(Lp)
     else:
         if Lp is None:
             Lp = cholesky(K)  # [M, M]

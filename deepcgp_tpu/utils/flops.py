@@ -2,16 +2,25 @@
 lines; VERDICT r1 weak #7: the bench reported steps/s only, so nobody knew
 whether the chip ran at 5% or 50% MFU).
 
-Counts the matmul-shaped work that can land on the MXU — cross-covariances,
-triangular solves, Choleskys, the conditional's mean / q_sqrt einsums and the
-KL solves — for the doubly-stochastic forward pass, and models the backward
-pass with the standard fwd+bwd ~= 3x forward multiplier.  Elementwise work
-(exp epilogues, reparameterisation, likelihood quadrature) is bandwidth- not
-FLOP-bound and is deliberately excluded, so the MFU figure is a *useful-work*
-number in the conventional sense.
+Two counts, LLM-convention style:
 
-The analytic count is cross-checkable against XLA's own
-``compiled.cost_analysis()['flops']`` (bench.py prints both).
+* ``training_step_flops`` — **model FLOPs**: the algorithmic matmul-shaped
+  work of the doubly-stochastic step (cross-covariances, triangular
+  *solves*, Choleskys, the conditional's mean / q_sqrt einsums, the KL
+  solves), with bwd = 2x fwd.  This is what MFU is quoted from, so the
+  figure stays comparable across implementations (an implementation that
+  does *extra* arithmetic — e.g. explicit factor inverses, rematerialized
+  kernels — does not get MFU credit for it, exactly like activation
+  recompute in LLM MFU accounting).
+* ``training_step_hardware_flops`` — what the shipped implementation
+  actually executes: the conditional / gauss_kl solves run as dense
+  matmuls against precomputed factor inverses (``ops/linalg.chol_with_inv``),
+  which is more arithmetic than a triangular solve.  This is the number to
+  cross-check against XLA's ``compiled.cost_analysis()['flops']``
+  (bench.py prints both).
+
+Elementwise work (exp epilogues, reparameterisation, likelihood quadrature)
+is bandwidth- not FLOP-bound and is deliberately excluded from both.
 """
 
 from __future__ import annotations
@@ -19,7 +28,7 @@ from __future__ import annotations
 import re
 
 
-def _conv_layer_flops(layer, N: int):
+def _conv_layer_flops(layer, N: int, hardware: bool):
     """(per-evaluation flops, once-per-step flops) for a hidden ConvLayer.
 
     Geometry: P patch positions, M inducing patches of dim L, R GPs per
@@ -31,21 +40,33 @@ def _conv_layer_flops(layer, N: int):
     R = layer.gp_count
     L = layer.Z.shape[1]
     solves = 1 if layer.white else 2
+    grams = 1 if layer.white else 2    # Lm (+ frozen-Z0 KL prior Lp)
+    # Triangular solve with k rhs ~ k*M^2 flops; the shipped inverse-form
+    # runs it as a dense k x M x M matmul (2x the arithmetic).
+    solve_cost = 2 * P * N * M * M if hardware else P * N * M * M
     per_eval = (
-        2 * P * N * M * L          # Kuf cross-covariance matmul
-        + solves * P * N * M * M   # triangular solve(s), P*N rhs of size M
-        + 2 * P * N * M * R        # fmean = A f
-        + 2 * R * P * N * M * M    # q_sqrt variance term (A L per output GP)
+        2 * P * N * M * L              # Kuf cross-covariance matmul
+        + solves * solve_cost          # whitening solve(s), P*N rhs
+        + 2 * P * N * M * R            # fmean = A f
+        + 2 * R * P * N * M * M        # q_sqrt variance term (A L per GP)
     )
-    per_step = (
-        2 * M * M * L              # Kuu
-        + M ** 3 // 3              # chol(Kuu)
-        + (R + 1) * M ** 3         # KL: R M-rhs triangular solves + chol
-    )
+    if hardware:
+        per_step = (
+            2 * M * M * L                      # Kuu
+            + grams * (M ** 3 // 3 + M ** 3)   # chol + explicit L^-1 each
+            + (0 if layer.white else (2 * R + 2) * M ** 3)
+            # KL trace, inverse form: sum_r Lq Lq^T (2R M^3) + W=Lp^-T Lp^-1
+        )
+    else:
+        per_step = (
+            2 * M * M * L              # Kuu
+            + M ** 3 // 3              # chol(Kuu)
+            + (R + 1) * M ** 3         # KL: R M-rhs triangular solves + chol
+        )
     return per_eval, per_step
 
 
-def _svgp_layer_flops(layer, N: int):
+def _svgp_layer_flops(layer, N: int, hardware: bool):
     """Same for the last SVGPLayer (patch-sum ConvKernel/AdditivePatchKernel
     or plain RBF; dispatch mirrors `conv_gp/kernels.py:172-178`)."""
     M = layer.num_inducing
@@ -53,37 +74,57 @@ def _svgp_layer_flops(layer, N: int):
     L = layer.Z.shape[1]
     P = layer.kernel.view.patch_count if hasattr(layer.kernel, 'view') else 1
     solves = 1 if layer.white else 2
+    solve_cost = 2 * N * M * M if hardware else N * M * M
     per_eval = (
         2 * P * N * M * L          # Kzx (patch-summed when P > 1)
-        + solves * N * M * M
+        + solves * solve_cost
         + 2 * N * M * R
         + 2 * R * N * M * M
     )
-    per_step = (
-        2 * M * M * L
-        + M ** 3 // 3
-        + (R + 1) * M ** 3
-    )
+    if hardware:
+        per_step = (
+            2 * M * M * L
+            + M ** 3 // 3 + M ** 3     # chol + explicit L^-1 (gram shared
+                                       # between conditional and KL prior)
+            + (0 if layer.white else (2 * R + 2) * M ** 3)
+        )
+    else:
+        per_step = (
+            2 * M * M * L
+            + M ** 3 // 3
+            + (R + 1) * M ** 3
+        )
     return per_eval, per_step
 
 
-def training_step_flops(model, batch_size: int) -> float:
-    """Analytic MXU FLOPs of ONE optimizer step (forward + backward).
-
-    The first layer's conditional is evaluated once and sampled S times
+def _step_flops(model, batch_size: int, hardware: bool) -> float:
+    """The first layer's conditional is evaluated once and sampled S times
     (sample-independent input — models/dgp.py); every later layer runs S
-    evaluations.  Backward pass modelled as 2x forward (fwd+bwd = 3x).
-    """
+    evaluations.  Backward pass modelled as 2x forward (fwd+bwd = 3x)."""
     S = model.num_samples
     total = 0.0
     for i, layer in enumerate(model.layers):
         if hasattr(layer, 'gp_count'):
-            per_eval, per_step = _conv_layer_flops(layer, batch_size)
+            per_eval, per_step = _conv_layer_flops(layer, batch_size,
+                                                   hardware)
         else:
-            per_eval, per_step = _svgp_layer_flops(layer, batch_size)
+            per_eval, per_step = _svgp_layer_flops(layer, batch_size,
+                                                   hardware)
         evals = 1 if i == 0 else S
         total += evals * per_eval + per_step
     return 3.0 * total
+
+
+def training_step_flops(model, batch_size: int) -> float:
+    """Analytic *model* MXU FLOPs of ONE optimizer step (fwd + bwd).
+    MFU is quoted from this figure — see the module docstring."""
+    return _step_flops(model, batch_size, hardware=False)
+
+
+def training_step_hardware_flops(model, batch_size: int) -> float:
+    """Analytic MXU FLOPs the shipped inverse-form implementation actually
+    executes per step — the comparator for XLA's cost analysis."""
+    return _step_flops(model, batch_size, hardware=True)
 
 
 # Peak dense-matmul throughput per chip, FLOP/s.  The library computes in

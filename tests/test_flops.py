@@ -38,7 +38,8 @@ def test_training_step_flops_sample_sharing():
 
 
 def test_flops_order_of_magnitude_vs_xla():
-    """The analytic count must agree with XLA's cost analysis of the real
+    """The analytic *hardware* count (what the inverse-form implementation
+    executes) must agree with XLA's cost analysis of the real
     forward+backward program within a loose factor (the analytic number
     counts MXU work only; XLA counts everything)."""
     from deepcgp_tpu.training import trainer
@@ -63,8 +64,11 @@ def test_flops_order_of_magnitude_vs_xla():
     except (KeyError, TypeError, Exception) as e:  # pragma: no cover
         import pytest
         pytest.skip(f"cost_analysis unavailable on this backend: {e}")
-    analytic = flops_lib.training_step_flops(model, 8)
+    analytic = flops_lib.training_step_hardware_flops(model, 8)
     assert 0.1 < analytic / xla < 10.0, (analytic, xla)
+    # The model-FLOPs figure (MFU numerator) must stay at or below the
+    # hardware figure: extra implementation arithmetic never earns MFU.
+    assert flops_lib.training_step_flops(model, 8) <= analytic
 
 
 def test_device_peak_lookup():

@@ -150,6 +150,117 @@ def test_gauss_kl_gradients_match_plain_autodiff(use_K):
                                    rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.parametrize("batched", [False, True])
+def test_chol_with_inv_values_and_vjp(batched):
+    """chol_with_inv must return (chol(K), chol(K)^-1) and its custom
+    matmul-only VJP must equal plain autodiff through cholesky + solve.
+    Gradients are compared THROUGH K = B B^T + c I so the comparison is
+    insensitive to the symmetrization convention of the K cotangent."""
+    import jax.scipy.linalg as jsl
+    M = 12
+    shape = (3, M, M) if batched else (M, M)
+    B0 = jnp.asarray(RNG.randn(*shape))
+
+    def makeK(B):
+        return jnp.einsum('...ij,...kj->...ik', B, B) \
+            + 2.0 * jnp.eye(M, dtype=B.dtype)
+
+    def ref_pair(K):
+        L = jnp.linalg.cholesky(K)
+        eye = jnp.broadcast_to(jnp.eye(M, dtype=K.dtype), K.shape)
+        Linv = jax.lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True)
+        return L, Linv
+
+    L, Linv = linalg.chol_with_inv(makeK(B0))
+    Lr, Linvr = ref_pair(makeK(B0))
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lr), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Linv), np.asarray(Linvr),
+                               atol=1e-11)
+    # Inverse really inverts.
+    prod = jnp.einsum('...ij,...jk->...ik', Linv, L)
+    np.testing.assert_allclose(
+        np.asarray(prod),
+        np.broadcast_to(np.eye(M), prod.shape), atol=1e-11)
+
+    def loss(pair_fn, B):
+        L, Li = pair_fn(makeK(B))
+        return jnp.sum(jnp.sin(L)) + jnp.sum(jnp.cos(0.3 * Li)) \
+            + 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(
+                L, axis1=-2, axis2=-1))))
+
+    g_got = jax.grad(lambda B: loss(linalg.chol_with_inv, B))(B0)
+    g_ref = jax.grad(lambda B: loss(ref_pair, B))(B0)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-11)
+    del jsl
+
+
+def test_gauss_kl_with_prior_inverse_matches_solve_path():
+    """gauss_kl(Lp=..., Lp_inv=...) (inverse-matmul form) must match the
+    TRSM form in value and gradients."""
+    M, R = 10, 3
+    q_mu = jnp.asarray(RNG.randn(M, R))
+    q_sqrt = jnp.asarray(np.tril(RNG.randn(R, M, M)) + 2 * np.eye(M))
+    K = jnp.asarray(_random_spd(M))
+
+    def kl(q_mu, q_sqrt, K, with_inv):
+        Lp, Lp_inv = linalg.chol_with_inv(K)
+        if with_inv:
+            return linalg.gauss_kl(q_mu, q_sqrt, Lp=Lp, Lp_inv=Lp_inv)
+        return linalg.gauss_kl(q_mu, q_sqrt, Lp=Lp)
+
+    v_inv = kl(q_mu, q_sqrt, K, True)
+    v_sol = kl(q_mu, q_sqrt, K, False)
+    np.testing.assert_allclose(float(v_inv), float(v_sol), rtol=1e-11)
+    g_inv = jax.grad(lambda *a: kl(*a, True), argnums=(0, 1, 2))(
+        q_mu, q_sqrt, K)
+    g_sol = jax.grad(lambda *a: kl(*a, False), argnums=(0, 1, 2))(
+        q_mu, q_sqrt, K)
+    for gi, gs in zip(g_inv, g_sol):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(gs),
+                                   rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("white", [False, True])
+def test_conditional_with_factor_inverse_matches_solve_path(white):
+    """multi_output_conditional(Lm_inv=...) must reproduce the TRSM path
+    (values and gradients) — the training path runs the inverse form."""
+    from deepcgp_tpu.ops.conditional import multi_output_conditional
+    P, N, M, R = 4, 5, 9, 3
+    Kmn = jnp.asarray(RNG.randn(P, N, M))
+    Kmm = jnp.asarray(_random_spd(M))
+    Knn = jnp.asarray(np.abs(RNG.randn(P, N)) + 1.0)
+    f = jnp.asarray(RNG.randn(M, R))
+    q_sqrt = jnp.asarray(np.tril(RNG.randn(R, M, M)) + 2 * np.eye(M))
+
+    def run(Kmn, Kmm, f, q_sqrt, use_inv):
+        Lm, Lm_inv = linalg.chol_with_inv(Kmm)
+        mean, var = multi_output_conditional(
+            Kmn, None, Knn, f, q_sqrt=q_sqrt, white=white, Lm=Lm,
+            Lm_inv=Lm_inv if use_inv else None, layout='pnm')
+        return mean, var
+
+    m_i, v_i = run(Kmn, Kmm, f, q_sqrt, True)
+    m_s, v_s = run(Kmn, Kmm, f, q_sqrt, False)
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_s),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_s),
+                               rtol=1e-9, atol=1e-11)
+
+    def loss(Kmn, Kmm, f, q_sqrt, use_inv):
+        mean, var = run(Kmn, Kmm, f, q_sqrt, use_inv)
+        return jnp.sum(jnp.sin(mean)) + jnp.sum(jnp.log(var))
+
+    g_i = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3))(
+        Kmn, Kmm, f, q_sqrt)
+    g_s = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(
+        Kmn, Kmm, f, q_sqrt)
+    for gi, gs in zip(g_i, g_s):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(gs),
+                                   rtol=1e-8, atol=1e-10)
+
+
 @pytest.mark.parametrize("stride", [1, 2, 3])
 def test_extract_patches_matches_oracle(stride):
     images = RNG.randn(3, 12, 10, 2)
