@@ -88,7 +88,7 @@ class DGP:
         batch on TPU, so the stack shares one batch-parallel Pallas
         factorization; the inverses turn every downstream triangular
         solve (conditional + gauss_kl, forward AND backward) into
-        HIGHEST-precision MXU matmuls."""
+        MXU matmuls at the gate-validated inverse-apply precision."""
         from deepcgp_tpu.ops import linalg
         grams = [layer.kuu_grams() for layer in self.layers]
         flat = [g for gs in grams for g in gs]

@@ -41,7 +41,7 @@ class LayerCache(typing.NamedTuple):
     # factorization).
     Lp: typing.Any = None
     # Explicit factor inverses (linalg.chol_with_inv): downstream solves
-    # run as HIGHEST-precision matmuls with a matmul-only backward, in
+    # run as inverse-apply-precision matmuls with a matmul-only backward, in
     # place of TRSM/Cholesky-VJP custom-call chains.  None => solve path.
     Lm_inv: typing.Any = None
     Lp_inv: typing.Any = None

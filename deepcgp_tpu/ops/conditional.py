@@ -56,15 +56,16 @@ def multi_output_conditional(
         Lm = linalg.cholesky(Kmm)
 
     R = f.shape[1]
-    HI = lax.Precision.HIGHEST
+    HI = linalg._INV_PRECISION
 
     # Row form of A = Lm^-1 Kmn per patch, M-minor (fold [P, N, M] ->
     # [P*N, M]; the fold is layout-free since M is already innermost).
     # With a precomputed factor inverse (linalg.chol_with_inv) the solve
-    # is ONE HIGHEST-precision MXU matmul — same f32-level arithmetic as
-    # the TRSM custom call it replaces, but with no InvertDiagBlocks /
-    # block-panel latency and a backward that is again a matmul instead
-    # of another custom-call solve chain.
+    # is ONE MXU matmul at the inverse-apply precision
+    # (linalg._INV_PRECISION, gate-validated vs the TRSM custom call it
+    # replaces) — no InvertDiagBlocks / block-panel latency, and a
+    # backward that is again a matmul instead of another custom-call
+    # solve chain.
     shape = Kmn.shape
     if Lm_inv is not None:
         A = jnp.einsum('pnm,sm->pns', Kmn, Lm_inv, precision=HI)

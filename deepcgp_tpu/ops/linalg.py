@@ -14,6 +14,8 @@ TPU-native replacements for the reference's TF linalg surface
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -67,12 +69,19 @@ def solve_triangular_mrhs(L: jax.Array, B: jax.Array, *, lower: bool = True,
 
 
 # Precision for every matmul that APPLIES a triangular inverse (or backs
-# one up through the Cholesky VJP).  HIGHEST is the f32-equivalent MXU mode;
-# the round-1 `tri_inverse` experiment used default-precision matmuls —
-# single-pass bf16 on TPU — whose ~4e-3 relative error, amplified by the
-# factor's condition number, NaN'd f32 training.  That failure was the
-# precision, not the inverse.
-_INV_PRECISION = lax.Precision.HIGHEST
+# one up through the Cholesky VJP).  The round-1 `tri_inverse` experiment
+# used DEFAULT-precision matmuls — single-pass bf16 on TPU — whose ~4e-3
+# relative error, amplified by the factor's condition number, NaN'd f32
+# training: that failure was the precision, not the inverse.  HIGH (bf16x3,
+# ~f32-level multiply error) measured indistinguishable from HIGHEST
+# (bf16x6) on the on-TPU ELBO A/B gate and the NatGrad soak while running
+# the MXU ~2x faster — see PARITY.md; DEEPCGP_INV_PRECISION overrides for
+# re-running that gate.
+_INV_PRECISION = {
+    'default': lax.Precision.DEFAULT,
+    'high': lax.Precision.HIGH,
+    'highest': lax.Precision.HIGHEST,
+}[os.environ.get('DEEPCGP_INV_PRECISION', 'high')]
 
 
 def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -206,7 +215,7 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
         assert Lp is not None, "Lp_inv requires its factor Lp (for logdet)"
         # Inverse-matmul form (cache built by linalg.chol_with_inv): the
         # trace term tr(K^-1 T) = <Lp^-T Lp^-1, T> and the Mahalanobis
-        # solve both become HIGHEST-precision MXU matmuls — no
+        # solve both become inverse-apply-precision MXU matmuls — no
         # triangular-solve custom call in forward OR backward (the VJP of
         # an einsum is einsums; Lp_inv's own backward is the matmul-only
         # chol_with_inv VJP).
