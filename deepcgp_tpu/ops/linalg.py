@@ -186,6 +186,35 @@ def _tril_logdet_bwd(d, g):
 tril_logdet.defvjp(_tril_logdet_fwd, _tril_logdet_bwd)
 
 
+@jax.custom_vjp
+def syrk_sum(Lq: jax.Array) -> jax.Array:
+    """T = sum_r Lq_r Lq_r^T as ONE dot_general contracting over (r, k):
+    einsum('rmk,rnk->mn').
+
+    Why custom_vjp: autodiff treats the two einsum operands as independent
+    and emits TWO full-size backward einsums (dLq1 = C Lq summing n,
+    dLq2 = C^T Lq summing m) that are then added — 2x 2*R*M^3 flops.  The
+    operands are the SAME tensor, so the exact cotangent collapses to
+        dLq = (C + C^T) Lq
+    — one einsum against the (cheap, M^2) symmetrized cotangent.  At the
+    M=1024 bench config the two autodiff einsums were ~240us/step of MXU
+    time (tools/roofline.py); this halves them.  Exactness vs autodiff is
+    pinned by test_numerics_core.py::test_syrk_sum_vjp."""
+    return jnp.einsum('rmk,rnk->mn', Lq, Lq)
+
+
+def _syrk_sum_fwd(Lq):
+    return syrk_sum(Lq), Lq
+
+
+def _syrk_sum_bwd(Lq, C):
+    Csym = C + C.T
+    return (jnp.einsum('mn,rnk->rmk', Csym, Lq),)
+
+
+syrk_sum.defvjp(_syrk_sum_fwd, _syrk_sum_bwd)
+
+
 def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
              K: jax.Array | None = None, *,
              Lp: jax.Array | None = None,
@@ -219,7 +248,7 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
         # triangular-solve custom call in forward OR backward (the VJP of
         # an einsum is einsums; Lp_inv's own backward is the matmul-only
         # chol_with_inv VJP).
-        T_ = jnp.einsum('rmk,rnk->mn', Lq, Lq)               # [M, M]
+        T_ = syrk_sum(Lq)                                    # [M, M]
         W = jnp.einsum('km,kn->mn', Lp_inv, Lp_inv,
                        precision=_INV_PRECISION)             # Lp^-T Lp^-1
         trace = jnp.sum(W * T_)
@@ -243,7 +272,7 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
         # reshape-to-[M, R*M] matmul form materialized a {1,0}->{0,1}
         # layout copy of the 40MB stack in BOTH directions at M=1024
         # (~94us/step of pure data movement, tools/roofline.py).
-        T = jnp.einsum('rmk,rnk->mn', Lq, Lq)                # [M, M]
+        T = syrk_sum(Lq)                                     # [M, M]
         # The Mahalanobis solve rides the SAME triangular-solve call as the
         # trace term (T first: its block stays lane-aligned; the R-column
         # q_mu tail is tiny) — TRSM custom calls are latency-bound, so one

@@ -29,6 +29,7 @@ retries smaller) — same recovery semantics, zero extra passes.
 from __future__ import annotations
 
 import functools
+import os
 import typing
 
 import jax
@@ -203,8 +204,20 @@ def run_chunk_impl(state: TrainState, config: TrainConfig, X_train, Y_train,
         state, elbo = train_step(state.replace(key=key), config, xb, yb)
         return state, elbo
 
+    # Unrolling the scan amortizes the while-loop machinery (condition
+    # evaluation, carry/trace dynamic-update-slices — profiled ~110us/step
+    # of ~350 sub-microsecond ops at unroll=2 on the NatGrad flagship)
+    # over more steps per iteration, at the cost of compile time.  Swept on
+    # v5e: unroll=4 gains the Adam configs ~1.5% (flagship 776->786, M=1024
+    # 573->583 steps/s) but LOSES NatGrad 540->528 (its bigger body blows
+    # past a cache/VMEM sweet spot), so the default is per-optimizer;
+    # DEEPCGP_SCAN_UNROLL overrides for re-sweeping.
+    default_unroll = 2 if config.optimizer == 'NatGrad' else 4
+    unroll = int(os.environ.get('DEEPCGP_SCAN_UNROLL', default_unroll))
+    while unroll > 1 and num_steps % unroll:
+        unroll //= 2
     state, elbos = lax.scan(body, state, length=num_steps,
-                            unroll=2 if num_steps % 2 == 0 else 1)
+                            unroll=max(unroll, 1))
 
     if config.optimizer == 'NatGrad':
         # Terminal verification: the deferred NatGrad check means the LAST

@@ -322,3 +322,21 @@ def test_self_gram_uses_exact_precision():
     assert 'HIGHEST' in self_jaxpr
     assert 'HIGHEST' not in cross_jaxpr
 
+
+
+def test_syrk_sum_vjp():
+    """linalg.syrk_sum's collapsed backward (C + C^T) Lq must equal plain
+    autodiff of the einsum it wraps (which emits two separate operand
+    cotangents) for an arbitrary — non-symmetric — cotangent."""
+    R, M = 3, 7
+    Lq = jnp.asarray(np.tril(RNG.randn(R, M, M)))
+    C = jnp.asarray(RNG.randn(M, M))  # deliberately not symmetric
+
+    plain = lambda x: jnp.einsum('rmk,rnk->mn', x, x)  # noqa: E731
+    np.testing.assert_allclose(np.asarray(linalg.syrk_sum(Lq)),
+                               np.asarray(plain(Lq)), rtol=1e-12)
+    _, vjp_got = jax.vjp(linalg.syrk_sum, Lq)
+    _, vjp_ref = jax.vjp(plain, Lq)
+    np.testing.assert_allclose(np.asarray(vjp_got(C)[0]),
+                               np.asarray(vjp_ref(C)[0]),
+                               rtol=1e-11, atol=1e-13)
