@@ -52,8 +52,9 @@ def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
     L = chol(D) and Linv = L^-1, all batch lanes advanced together.
 
     Two serial recurrences of P steps each — the irreducible sequential
-    depth of a Cholesky — with every step a [b, P, P] VPU op, so the cost
-    is (nearly) independent of b instead of linear in it.
+    depth of a Cholesky — with every step a VPU op on the LIVE slice of
+    the matrix, so the cost is (nearly) independent of b instead of
+    linear in it.
 
     The recurrences are STATICALLY UNROLLED: a lax.fori_loop body here
     costs ~2us of loop machinery per iteration on Mosaic (768 iterations
@@ -61,88 +62,91 @@ def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
     replaces); with static j every column/pivot access is a static slice
     and the whole factorization is one straight-line vector program.
 
-    MASK-FREE formulation (second generation — the first spent ~4 full
-    [b, P, P] masked selects per step keeping the processed region
-    pristine): the rank-1 downdate at step j only has to be correct on
-    the trailing block (rows, cols > j) — every entry it pollutes in the
-    processed region is never read again — so it runs UNMASKED as one
-    fused multiply-subtract; the scaled row needed for the outer product
-    comes from the matrix's own row j (D stays symmetric on the valid
-    region), killing the per-step [b, P, 1] -> [b, 1, P] relayout; and
-    factor columns / inverse rows are committed by tiny static-slice
-    REF stores instead of whole-matrix wheres.  Net: ONE big VPU op per
-    chol step and two per inverse step.
+    Third-generation SLICED formulation (the second ran every downdate
+    unmasked on the full [b, P, P] value): with j static after the
+    unroll, the rank-1 downdate can address ONLY the live trailing block
+    D[:, j+1:, j+1:] of a scratch ref — the processed rows are never
+    read again, so they need neither masking NOR touching.  The average
+    step streams half the rows (P/3 of the elements), and the factor
+    columns / inverse rows commit by static-slice REF stores into
+    zero-initialized outputs (no wheres at all).  The inverse rows
+    likewise read only Linv[:, :i, :] — the rows already written.
+    Measured 41 -> 27us/call at [20, 64, 64] in the NatGrad step.
     """
-    D = D_ref[:]
-    b, P, _ = D.shape
-    dtype = D.dtype
-    ridx = lax.broadcasted_iota(jnp.int32, (P, 1), 0)      # row index
+    b, P, _ = D_ref.shape
+    dtype = D_ref.dtype
     colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)     # lane index
 
+    # Working matrix lives in Linv_ref (unused until the inverse phase,
+    # which re-zeroes it) — no dedicated scratch allocation needed.
+    Linv_ref[:] = D_ref[:]
+    L_ref[:] = jnp.zeros((b, P, P), dtype)
     for j in range(P):
-        colj = D[:, :, j:j + 1]                            # [b, P, 1]
-        rowj = D[:, j:j + 1, :]                            # [b, 1, P]
-        inv_piv = lax.rsqrt(colj[:, j:j + 1])              # [b, 1, 1]
-        cvec = colj * inv_piv                              # valid rows >= j
-        crow = rowj * inv_piv                              # valid cols >= j
-        # Column j of the factor (rows < j hold stale values — zero them
-        # here; this is the only masked op, on a [b, P, 1] sliver).
-        L_ref[:, :, j:j + 1] = jnp.where(ridx >= j, cvec,
-                                         jnp.zeros((), dtype))
+        colj = Linv_ref[:, j:, j:j + 1]                    # [b, P-j, 1] live
+        inv_piv = lax.rsqrt(colj[:, :1])                   # [b, 1, 1]
+        cvec = colj * inv_piv
+        L_ref[:, j:, j:j + 1] = cvec
         if j + 1 < P:
-            D = D - cvec * crow                            # unmasked downdate
+            crow = Linv_ref[:, j:j + 1, j + 1:] * inv_piv  # [b, 1, P-j-1]
+            Linv_ref[:, j + 1:, j + 1:] = (
+                Linv_ref[:, j + 1:, j + 1:] - cvec[:, 1:] * crow)
 
     # Forward substitution for X = L^-1, one row per step:
-    #   X[i, :] = (e_i - sum_{p<i} L[i, p] X[p, :]) / L[i, i].
-    # The ref is zeroed first, so summing over ALL p is exact: L[i, p] = 0
-    # for p > i (tril) and X[i, :] = 0 while still unwritten — no masks.
+    #   X[i, :] = (e_i - sum_{p<i} L[i, p] X[p, :]) / L[i, i],
+    # reading only the i rows already written (static slices).
     L = L_ref[:]
     LT = jnp.swapaxes(L, 1, 2)          # one relayout; LT[:, p, i] = L[i, p]
     Linv_ref[:] = jnp.zeros((b, P, P), dtype)
     for i in range(P):
-        w = LT[:, :, i:i + 1]                              # [b, P, 1]
-        contrib = jnp.sum(w * Linv_ref[:], axis=1, keepdims=True)
         onehot = (colid == i).astype(dtype)
         lii = L[:, i:i + 1, i:i + 1]
+        if i == 0:
+            Linv_ref[:, :1, :] = onehot / lii
+            continue
+        w = LT[:, :i, i:i + 1]                             # [b, i, 1]
+        contrib = jnp.sum(w * Linv_ref[:, :i, :], axis=1, keepdims=True)
         Linv_ref[:, i:i + 1, :] = (onehot - contrib) / lii
 
 
 def _chol_inv_base_kernel_upper(D_ref, R_ref, Rinv_ref):
     """Upper-triangular mirror of :func:`_chol_inv_base_kernel`:
     D [b, P, P] symmetric -> R UPPER-triangular with R R^T = D, and
-    Rinv = R^-1 (upper).  Same mask-free structure, recurrences running
+    Rinv = R^-1 (upper).  Same sliced structure, recurrences running
     from the bottom-right corner — this IS the Cholesky of the
     index-reversed matrix without materializing the [..., ::-1, ::-1]
     reverses the NatGrad exchange identity otherwise needs (two
-    [B, M, M] reverse ops per step in the trace)."""
-    D = D_ref[:]
-    b, P, _ = D.shape
-    dtype = D.dtype
-    ridx = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    [B, M, M] reverse ops per step in the trace); the live block is the
+    LEADING D[:, :j, :j]."""
+    b, P, _ = D_ref.shape
+    dtype = D_ref.dtype
     colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)
 
+    Rinv_ref[:] = D_ref[:]
+    R_ref[:] = jnp.zeros((b, P, P), dtype)
     for j in range(P - 1, -1, -1):
-        colj = D[:, :, j:j + 1]                            # valid rows <= j
-        rowj = D[:, j:j + 1, :]                            # valid cols <= j
-        inv_piv = lax.rsqrt(colj[:, j:j + 1])
+        colj = Rinv_ref[:, :j + 1, j:j + 1]                # [b, j+1, 1] live
+        inv_piv = lax.rsqrt(colj[:, j:j + 1])              # pivot = last row
         cvec = colj * inv_piv
-        crow = rowj * inv_piv
-        R_ref[:, :, j:j + 1] = jnp.where(ridx <= j, cvec,
-                                         jnp.zeros((), dtype))
+        R_ref[:, :j + 1, j:j + 1] = cvec
         if j > 0:
-            D = D - cvec * crow
+            crow = Rinv_ref[:, j:j + 1, :j] * inv_piv      # [b, 1, j]
+            Rinv_ref[:, :j, :j] = (Rinv_ref[:, :j, :j]
+                                   - cvec[:, :j] * crow)
 
     # Back substitution for X = R^-1, bottom row first:
-    #   X[i, :] = (e_i - sum_{p>i} R[i, p] X[p, :]) / R[i, i];
-    # zero-init + triu structure again make the full sum exact unmasked.
+    #   X[i, :] = (e_i - sum_{p>i} R[i, p] X[p, :]) / R[i, i],
+    # reading only the P-1-i rows already written (static slices).
     R = R_ref[:]
     RT = jnp.swapaxes(R, 1, 2)
     Rinv_ref[:] = jnp.zeros((b, P, P), dtype)
     for i in range(P - 1, -1, -1):
-        w = RT[:, :, i:i + 1]
-        contrib = jnp.sum(w * Rinv_ref[:], axis=1, keepdims=True)
         onehot = (colid == i).astype(dtype)
         rii = R[:, i:i + 1, i:i + 1]
+        if i == P - 1:
+            Rinv_ref[:, P - 1:, :] = onehot / rii
+            continue
+        w = RT[:, i + 1:, i:i + 1]                         # [b, P-1-i, 1]
+        contrib = jnp.sum(w * Rinv_ref[:, i + 1:, :], axis=1, keepdims=True)
         Rinv_ref[:, i:i + 1, :] = (onehot - contrib) / rii
 
 
