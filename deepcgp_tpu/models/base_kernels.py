@@ -55,6 +55,14 @@ class RBF:
 
     def K(self, X: jax.Array, X2: jax.Array | None = None) -> jax.Array:
         ls = self.lengthscales
+        if ls.ndim == 0:
+            # Isotropic: scale the SQUARED DISTANCE by 1/ls^2 instead of
+            # the inputs — algebraically identical, but the scalar multiply
+            # fuses into the exp epilogue for free, where dividing the
+            # [N*P, L] im2col tensor was a separate ~33us/step bandwidth
+            # pass at the flagship shape (and its backward re-read it).
+            d2 = square_distance(X, X2)
+            return self.variance * jnp.exp((-0.5 / jnp.square(ls)) * d2)
         Xl = X / ls
         X2l = None if X2 is None else X2 / ls
         d2 = square_distance(Xl, X2l)

@@ -37,6 +37,20 @@ from jax import lax
 from deepcgp_tpu.ops import pallas_linalg
 
 
+# Precision of the matmuls whose RESULT IS the new variational state
+# (W_new = W R^-T and the mu_new matvecs).  Unlike the conditional's
+# inverse-apply einsums (evaluation-only, HIGH since round 3), rounding
+# here feeds back into (q_mu, q_sqrt) every step, so the default stays
+# HIGHEST; DEEPCGP_NATGRAD_PRECISION=high is the measured-candidate
+# override (W_new at bf16x3 ~ f32-level multiply error) — flip only with
+# tools/precision_gate.py + a clean NatGrad soak at the candidate.
+_STATE_PRECISION = {
+    'default': lax.Precision.DEFAULT,
+    'high': lax.Precision.HIGH,
+    'highest': lax.Precision.HIGHEST,
+}[os.environ.get('DEEPCGP_NATGRAD_PRECISION', 'highest')]
+
+
 def _use_pallas_factor(dtype, M: int) -> bool:
     """Gate for the batch-parallel NatGrad factorization: TPU backend,
     f32, lane-aligned M.  DEEPCGP_NO_PALLAS_NATGRAD=1 falls back to the
@@ -267,12 +281,12 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
                                              lower=True)
         Rinv = Lgfinv[..., ::-1, ::-1]
     W_new = jnp.einsum('rmk,rnk->rmn', W, Rinv,
-                       precision=lax.Precision.HIGHEST)    # W R^-T
+                       precision=_STATE_PRECISION)         # W R^-T
     # mu_new = mu - g W_new (W_new^T dmu): two matvecs, no S_new needed.
     t = jnp.einsum('rmn,rm->rn', W_new, dmu,
-                   precision=lax.Precision.HIGHEST)           # W_new^T dmu
+                   precision=_STATE_PRECISION)                # W_new^T dmu
     mu_new = mu - gamma * jnp.einsum('rmn,rn->rm', W_new, t,
-                                     precision=lax.Precision.HIGHEST)
+                                     precision=_STATE_PRECISION)
     return mu_new.T, W_new
 
 
