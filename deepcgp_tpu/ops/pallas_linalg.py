@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 # fewer dispatch-bound tiny block einsums in the driver (the panel=32
 # loss), while the base kernel's serial recurrence depth stays half of
 # panel=128's (74us/call at 128 vs 21us at 64).
-PANEL = 64
+PANEL = int(__import__('os').environ.get('DEEPCGP_PALLAS_PANEL', '64'))
 
 
 def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
