@@ -24,6 +24,46 @@ from deepcgp_tpu.config import settings
 from deepcgp_tpu.ops.linalg import add_jitter
 
 
+def native_patch_order_ok(base_kernel, view) -> bool:
+    """True when the hot path may extract patches in the conv lowering's
+    NATIVE within-patch order (C, fh, fw) instead of TF's (fh, fw, C).
+
+    Legal whenever every [L]-indexed quantity the kernel math touches can be
+    permuted consistently: patch-vs-patch grams and patch-vs-Z
+    cross-covariances are exact under a shared column permutation (Z rides
+    ``Z[:, view.native_perm]``; Kuu sees only Z so it needs none), which
+    holds for distance/inner-product kernels with SCALAR per-dim parameters
+    — RBF with a scalar lengthscale, ArcCosine with scalar weight
+    variances.  FullView only: partial views hand their patches to the mean
+    function (`conv_gp/views.py:116-117`), whose filters are TF-ordered.
+
+    Why it exists: the conv-lowered extraction births the [N, P, L] tensor
+    with L minor — the layout every consumer matmul wants — so the
+    slice-form stack+reshape relayout copies never exist.  MEASURED
+    (flagship, v5e-1, 2026-08-18): copies bucket 245.7 -> 128.5us/step as
+    predicted, BUT the extraction conv and its transposed-conv backward
+    run on C=10-minor image layouts (128-lane padding tax) and add
+    +224us/step of MXU-bucket time — net 805.8 -> 782.0 steps/s.  The
+    slice form's relayouts are the cheaper evil, same verdict the
+    minor-axis-concat experiment reached from the other side.  OFF by
+    default; ``DEEPCGP_PATCH_ORDER=native`` re-enables for A/B on other
+    shapes (grad/ELBO equivalence verified at f64 reassociation level).
+    """
+    import os
+
+    from deepcgp_tpu.models.base_kernels import RBF, ArcCosine
+    from deepcgp_tpu.models.views import FullView
+    if os.environ.get('DEEPCGP_PATCH_ORDER', 'tf') != 'native':
+        return False
+    if not isinstance(view, FullView):
+        return False
+    if isinstance(base_kernel, RBF):
+        return jnp.ndim(base_kernel.raw_lengthscales) == 0
+    if isinstance(base_kernel, ArcCosine):
+        return jnp.ndim(base_kernel.raw_weight_variances) == 0
+    return False
+
+
 @struct.dataclass
 class MultiOutputConvKernel:
     """Shared base kernel evaluated independently at each patch position.
@@ -86,37 +126,36 @@ class AdditivePatchKernel:
                        view.patch_count, patch_weights, dtype),
                    view=view)
 
+    def _native_order(self) -> bool:
+        return native_patch_order_ok(self.base_kernel, self.view)
+
     def _patches(self, ND_X: jax.Array) -> jax.Array:
+        """[N, P, L] — NATIVE (C, fh, fw) element order whenever the kernel
+        math permits (see :func:`native_patch_order_ok`); TF order
+        otherwise.  Every in-class consumer is order-consistent: grams pair
+        patches with patches, cross-covariances pair them with
+        :meth:`_Z_patch_order`-permuted inducing patches."""
         N = ND_X.shape[0]
         H, W = self.view.input_size
         NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)
-        return self.view.extract_patches_NPL(NHWC)  # [N, P, L]
+        if self._native_order():
+            return self.view.extract_patches_NPL_native(NHWC)
+        return self.view.extract_patches_NPL(NHWC)
+
+    def _Z_patch_order(self, Z: jax.Array) -> jax.Array:
+        """Z's columns in the order :meth:`_patches` produces.  Z is STORED
+        in TF patch order (checkpoint/init/figure compatibility); the
+        permutation is a [M, L] gather, invisible next to the matmuls it
+        unlocks."""
+        if self._native_order():
+            return jnp.take(Z, jnp.asarray(self.view.native_perm), axis=1)
+        return Z
 
     def _patches_any_order(self, ND_X: jax.Array) -> jax.Array:
         """[N, P, L] for consumers whose math only needs SOME fixed
         within-patch element order (pairwise distances/inner products among
-        patches of one extraction, with a scalar lengthscale) — i.e. the
-        Kdiag gram.  The contract permits any fixed permutation of L; the
-        current implementation returns the TF order, which lets XLA share
-        the extraction with Kzx's."""
-        from deepcgp_tpu.ops import conv_cross
-        from deepcgp_tpu.ops.patches import extract_patches
-        # Same gate as the conv-form Kuf: scalar-lengthscale RBF over a
-        # dense FullView is exactly the case whose pairwise math is
-        # invariant to a fixed within-patch element permutation.
-        if conv_cross.supports(self.base_kernel, self.view):
-            N = ND_X.shape[0]
-            H, W = self.view.input_size
-            NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)
-            # Slice-based extraction (pure data movement XLA fuses into the
-            # gram matmul).  History: the conv-lowered extraction won while
-            # the last layer ran under vmap-over-S (431 vs 73 steps/s); with
-            # the S axis folded into the batch (models/dgp.py) the slice
-            # form measured faster again end-to-end — re-bench inside
-            # bench.py's real program before touching this choice.
-            return extract_patches(
-                NHWC, self.view.filter_size, self.view.stride,
-                getattr(self.view, 'dilation', 1))
+        patches of one extraction) — i.e. the Kdiag gram.  Returns the same
+        order as :meth:`_patches` so XLA shares the extraction with Kzx's."""
         return self._patches(ND_X)
 
     def K(self, ND_X: jax.Array, ND_X2: jax.Array | None = None) -> jax.Array:
@@ -155,7 +194,8 @@ class AdditivePatchKernel:
                 ND_X.reshape(N, H, W, self.view.feature_maps), Z,
                 self.base_kernel.variance, self.base_kernel.lengthscales,
                 self.view.filter_size, self.view.stride, self.view.dilation)
-        return self.base_kernel.K(self._patches(ND_X), Z[None])
+        return self.base_kernel.K(self._patches(ND_X),
+                                  self._Z_patch_order(Z)[None])
 
     def Kzx_NM(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
         """[N, M] = mean_p w_p k(x[p], Z) — M-minor orientation (matches the

@@ -186,13 +186,26 @@ class ConvLayer:
                 (self.patch_count, N))                   # RBF Kdiag
             NPL = None
         else:
-            NPL = self.view.extract_patches_NPL(NHWC_X)
+            from deepcgp_tpu.models.conv_kernels import native_patch_order_ok
+            if native_patch_order_ok(self.base_kernel, self.view):
+                # Conv-lowered extraction in the native (C, fh, fw) element
+                # order: the [N, P, L] tensor is born L-minor (the Kuf/Kff
+                # matmul layout), killing the slice-form stack+reshape
+                # relayouts; Z rides the matching column permutation.  The
+                # within-patch order is invisible to the distance math —
+                # see native_patch_order_ok.
+                NPL = self.view.extract_patches_NPL_native(NHWC_X)
+                Zk = jnp.take(self.Z, jnp.asarray(self.view.native_perm),
+                              axis=1)
+            else:
+                NPL = self.view.extract_patches_NPL(NHWC_X)
+                Zk = self.Z
             PNL = jnp.swapaxes(NPL, 0, 1)
             # Under an active mesh: batch -> 'data', patch axis -> 'model'
             # (no-ops single-device; see deepcgp_tpu.parallel.sharding).
             PNL = sharding.constrain(PNL, 'model', 'data', None)
 
-            Kuf = self.conv_kernel.Kuf_PNM(self.Z, PNL)      # [P, N, M]
+            Kuf = self.conv_kernel.Kuf_PNM(Zk, PNL)          # [P, N, M]
             Kuf = sharding.constrain(Kuf, 'model', 'data', None)
             if full_cov:
                 Knn = self.conv_kernel.Kff(PNL)              # [P, N, N]

@@ -55,9 +55,23 @@ class FullView:
         return self.out_image_height * self.out_image_width
 
     def extract_patches_NPL(self, NHWC_X: jax.Array) -> jax.Array:
-        """[N, H, W, C] -> [N, P, L]."""
+        """[N, P, L]."""
         return extract_patches(NHWC_X, self.filter_size, self.stride,
                                self.dilation)
+
+    def extract_patches_NPL_native(self, NHWC_X: jax.Array) -> jax.Array:
+        """[N, P, L] in the conv lowering's native (C, fh, fw) element order
+        — see :func:`deepcgp_tpu.ops.patches.extract_patches_native`.  Pair
+        with :attr:`native_perm` on every [L]-indexed parameter."""
+        from deepcgp_tpu.ops.patches import extract_patches_native
+        return extract_patches_native(NHWC_X, self.filter_size, self.stride,
+                                      self.dilation)
+
+    @property
+    def native_perm(self):
+        """int32 [L]: ``native_patches[..., i] == tf_patches[..., perm[i]]``."""
+        from deepcgp_tpu.ops.patches import native_perm
+        return native_perm(self.filter_size, self.feature_maps)
 
     def extract_patches_PNL(self, NHWC_X: jax.Array) -> jax.Array:
         """Reference layout ([P, N, L], `conv_gp/views.py:40-44`)."""

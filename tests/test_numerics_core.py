@@ -271,6 +271,51 @@ def test_extract_patches_matches_oracle(stride):
     np.testing.assert_allclose(got_conv, want, atol=1e-12)
 
 
+@pytest.mark.parametrize("stride", [1, 2])
+def test_extract_patches_native_perm_relation(stride):
+    """patches_native[..., i] == patches_tf[..., native_perm[i]] — the
+    contract every [L]-indexed parameter permutation relies on
+    (DEEPCGP_PATCH_ORDER=native A/B path)."""
+    from deepcgp_tpu.ops.patches import extract_patches_native, native_perm
+    images = RNG.randn(3, 12, 10, 2)
+    tf_order = np.asarray(extract_patches(jnp.asarray(images), 5, stride))
+    nat = np.asarray(extract_patches_native(jnp.asarray(images), 5, stride))
+    perm = native_perm(5, 2)
+    assert sorted(perm.tolist()) == list(range(50))
+    np.testing.assert_allclose(nat, tf_order[..., perm], atol=1e-12)
+
+
+def test_native_patch_order_elbo_and_grads_match(monkeypatch):
+    """DEEPCGP_PATCH_ORDER=native is numerically transparent: the ELBO and
+    every parameter gradient of a 2-layer conv stack match the TF-order
+    path to f64 reassociation noise (Z rides the column permutation)."""
+    from deepcgp_tpu.models.builder import BuilderFlags, build_model
+    flags = BuilderFlags(M='8,8', feature_maps='2', filter_sizes='3,3',
+                         strides='2,1', num_samples=2, batch_size=4)
+    X = RNG.randn(16, 9, 9, 2)
+    Y = RNG.randint(0, 3, size=(16, 1))
+    monkeypatch.setenv('DEEPCGP_PATCH_ORDER', 'tf')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float64)
+    Xd = jnp.asarray(X.reshape(16, -1))
+    Yd = jnp.asarray(Y)
+    key = jax.random.PRNGKey(3)
+
+    def elbo_fn(m):
+        return m.elbo(Xd[:4], Yd[:4], key)
+
+    e_tf, g_tf = jax.value_and_grad(elbo_fn)(model)
+    monkeypatch.setenv('DEEPCGP_PATCH_ORDER', 'native')
+    e_nat, g_nat = jax.value_and_grad(elbo_fn)(model)
+    np.testing.assert_allclose(float(e_nat), float(e_tf), rtol=1e-12)
+    scale = max(float(jnp.max(jnp.abs(g))) for g in
+                jax.tree_util.tree_leaves(g_tf))
+    for a, b in zip(jax.tree_util.tree_leaves(g_tf),
+                    jax.tree_util.tree_leaves(g_nat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9 * scale)
+
+
 def test_full_view_geometry_matches_reference():
     # 28x28, filter 5, stride 1 -> 576 patches (SURVEY.md §5.7).
     v = FullView(input_size=(28, 28), filter_size=5, feature_maps=1)
