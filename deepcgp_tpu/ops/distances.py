@@ -29,8 +29,8 @@ def square_distance(X: jax.Array, X2: jax.Array | None = None) -> jax.Array:
     """
     Xs = jnp.sum(jnp.square(X), axis=-1)
     if X2 is None:
-        cross = jnp.matmul(X, jnp.swapaxes(X, -1, -2),
-                           precision=jax.lax.Precision.HIGHEST)
+        from deepcgp_tpu.ops.linalg import gram_syrk
+        cross = gram_syrk(X)    # HIGHEST fwd; one-matmul HIGH bwd
         X2s = Xs
     else:
         cross = jnp.matmul(X, jnp.swapaxes(X2, -1, -2))

@@ -105,6 +105,16 @@ def _chol_inv_impl(K: jax.Array):
         KB = K[None] if K.ndim == 2 else K
         L, Linv = pallas_linalg.chol_inv_batched(KB)
         return (L[0], Linv[0]) if K.ndim == 2 else (L, Linv)
+    if (K.dtype == jnp.float32 and M > 512 and M % 128 == 0
+            and ((M // 128) & (M // 128 - 1)) == 0
+            and jax.default_backend() == 'tpu'):
+        # Large M: XLA's blocked Cholesky base cases are fast at small
+        # batch, but its eye-TRSM for the inverse sweeps [128,128] panels
+        # SERIALLY (m1024: TRSM 138us + InvertDiagBlocks 81us/step).  Take
+        # the factor from XLA and build L^-1 by batched block doubling.
+        from deepcgp_tpu.ops import pallas_linalg
+        L = jnp.linalg.cholesky(K)
+        return L, pallas_linalg.tri_inv_doubling(L)
     L = jnp.linalg.cholesky(K)
     eye = jnp.broadcast_to(jnp.eye(M, dtype=K.dtype), K.shape)
     Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
@@ -213,6 +223,46 @@ def _syrk_sum_bwd(Lq, C):
 
 
 syrk_sum.defvjp(_syrk_sum_fwd, _syrk_sum_bwd)
+
+
+@jax.custom_vjp
+def gram_syrk(X: jax.Array) -> jax.Array:
+    """G = X X^T over the last two dims ([..., N, D] -> [..., N, N]) with a
+    Cholesky-safe FORWARD and a cheap, single-matmul BACKWARD.
+
+    Forward runs at Precision.HIGHEST: these grams become Kuu/Kff matrices
+    whose factorizations must stay positive definite (the single-pass-bf16
+    default's ~0.4% error swamps the jitter — see
+    :func:`deepcgp_tpu.ops.distances.square_distance`).
+
+    Backward: autodiff of ``matmul(X, X^T)`` emits TWO full-size matmuls
+    (dX = C X + C^T X) at the forward's bf16x6 rate.  The operands are the
+    SAME tensor, so the exact cotangent is ONE matmul against the
+    symmetrized cotangent,
+
+        dX = (C + C^T) X,
+
+    and it runs at Precision.HIGH (bf16x3, ~f32 multiply error): gradients
+    feed the optimizer, never a factorization, so they do not need the
+    6-pass product.  Measured (m1024 bench, v5e): the self-gram source line
+    dropped 174.7 -> ~70us/step.  Exactness of the collapsed cotangent vs
+    plain autodiff is pinned by
+    test_numerics_core.py::test_gram_syrk_vjp."""
+    return jnp.einsum('...nd,...md->...nm', X, X,
+                      precision=lax.Precision.HIGHEST)
+
+
+def _gram_syrk_fwd(X):
+    return gram_syrk(X), X
+
+
+def _gram_syrk_bwd(X, C):
+    Csym = C + jnp.swapaxes(C, -1, -2)
+    return (jnp.einsum('...nm,...md->...nd', Csym, X,
+                       precision=lax.Precision.HIGH),)
+
+
+gram_syrk.defvjp(_gram_syrk_fwd, _gram_syrk_bwd)
 
 
 def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,

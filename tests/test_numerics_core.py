@@ -369,6 +369,26 @@ def test_self_gram_uses_exact_precision():
 
 
 
+@pytest.mark.parametrize("batched", [False, True])
+def test_gram_syrk_vjp(batched):
+    """linalg.gram_syrk's collapsed backward (C + C^T) X must equal plain
+    autodiff of matmul(X, X^T) — which emits two operand cotangents — for
+    an arbitrary non-symmetric cotangent, including batched grams."""
+    shape = (4, 6, 5) if batched else (6, 5)
+    X = jnp.asarray(RNG.randn(*shape))
+    C = jnp.asarray(RNG.randn(*shape[:-1], shape[-2]))
+
+    plain = lambda x: jnp.einsum(   # noqa: E731
+        '...nd,...md->...nm', x, x)
+    np.testing.assert_allclose(np.asarray(linalg.gram_syrk(X)),
+                               np.asarray(plain(X)), rtol=1e-12)
+    _, vjp_got = jax.vjp(linalg.gram_syrk, X)
+    _, vjp_ref = jax.vjp(plain, X)
+    np.testing.assert_allclose(np.asarray(vjp_got(C)[0]),
+                               np.asarray(vjp_ref(C)[0]),
+                               rtol=1e-11, atol=1e-13)
+
+
 def test_syrk_sum_vjp():
     """linalg.syrk_sum's collapsed backward (C + C^T) Lq must equal plain
     autodiff of the einsum it wraps (which emits two separate operand
