@@ -150,6 +150,93 @@ def _chol_inv_base_kernel_upper(D_ref, R_ref, Rinv_ref):
         Rinv_ref[:, i:i + 1, :] = (onehot - contrib) / rii
 
 
+def _tri_inv_base_kernel(L_ref, X_ref):
+    """Batched base case: L [b, P, P] LOWER-triangular -> X = L^-1, all
+    batch lanes advanced together.  This is exactly the forward-
+    substitution phase of :func:`_chol_inv_base_kernel` (same sliced,
+    statically-unrolled structure), taking an existing factor instead of
+    computing one."""
+    b, P, _ = L_ref.shape
+    dtype = L_ref.dtype
+    colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    L = L_ref[:]
+    LT = jnp.swapaxes(L, 1, 2)          # LT[:, p, i] = L[i, p]
+    X_ref[:] = jnp.zeros((b, P, P), dtype)
+    for i in range(P):
+        onehot = (colid == i).astype(dtype)
+        lii = L[:, i:i + 1, i:i + 1]
+        if i == 0:
+            X_ref[:, :1, :] = onehot / lii
+            continue
+        w = LT[:, :i, i:i + 1]                             # [b, i, 1]
+        contrib = jnp.sum(w * X_ref[:, :i, :], axis=1, keepdims=True)
+        X_ref[:, i:i + 1, :] = (onehot - contrib) / lii
+
+
+def tri_inv_base(L: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """[b, P, P] lower-triangular -> L^-1, one Pallas call."""
+    b, P, _ = L.shape
+    out = jax.ShapeDtypeStruct((b, P, P), L.dtype)
+    return pl.pallas_call(
+        _tri_inv_base_kernel,
+        out_shape=out,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(L)
+
+
+def tri_inv_doubling(L: jax.Array, *, block: int = 128,
+                     interpret: bool = False) -> jax.Array:
+    """L [..., M, M] lower-triangular -> L^-1 by recursive block DOUBLING:
+
+        inv([[A, 0], [B, C]]) = [[A^-1, 0], [-C^-1 B A^-1, C^-1]]
+
+    The M/block diagonal blocks invert together in ONE batched Pallas base
+    call, then log2(M/block) levels of batched einsums merge pairs — every
+    level is two MXU matmuls over all pairs at once.  XLA's own
+    triangular-solve lowering for the same inverse is a SERIAL sweep of
+    [128,128] custom calls plus an InvertDiagBlocks call (m1024 trace:
+    TRSM 138us + IDB 81us/step); this form is latency-flat in M/block.
+
+    Construction precision is HIGHEST, matching :func:`chol_inv_batched`'s
+    block substitution.  Requires M % block == 0 and M/block a power of
+    two (the shipped use is M=1024, block=128 -> 3 levels).
+    """
+    *batch, M, M2 = L.shape
+    nb = M // block
+    assert M == M2 and M % block == 0 and nb & (nb - 1) == 0, (L.shape, block)
+    HI = lax.Precision.HIGHEST
+    Lf = L.reshape((-1, M, M))
+    Bn = Lf.shape[0]
+
+    dblocks = jnp.stack(
+        [Lf[:, k * block:(k + 1) * block, k * block:(k + 1) * block]
+         for k in range(nb)], axis=1).reshape(Bn * nb, block, block)
+    inv = tri_inv_base(dblocks, interpret=interpret)
+    invs = [inv.reshape(Bn, nb, block, block)[:, k] for k in range(nb)]
+
+    s = block
+    while s < M:
+        pairs = len(invs) // 2
+        Ainv = jnp.stack(invs[0::2], axis=1)               # [Bn, pairs, s, s]
+        Cinv = jnp.stack(invs[1::2], axis=1)
+        Bblk = jnp.stack(
+            [Lf[:, (2 * p + 1) * s:(2 * p + 2) * s, 2 * p * s:(2 * p + 1) * s]
+             for p in range(pairs)], axis=1)
+        X21 = -jnp.einsum(
+            'bpij,bpjk->bpik', Cinv,
+            jnp.einsum('bpij,bpjk->bpik', Bblk, Ainv, precision=HI),
+            precision=HI)
+        z = jnp.zeros_like(X21)
+        merged = jnp.concatenate([
+            jnp.concatenate([Ainv, z], axis=-1),
+            jnp.concatenate([X21, Cinv], axis=-1)], axis=-2)
+        invs = [merged[:, p] for p in range(pairs)]
+        s *= 2
+    return invs[0].reshape(*batch, M, M)
+
+
 def _base_call(kernel, D: jax.Array, *, interpret: bool = False):
     b, P, _ = D.shape
     out = jax.ShapeDtypeStruct((b, P, P), D.dtype)

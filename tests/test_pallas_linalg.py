@@ -102,3 +102,20 @@ def test_near_identity_inverse_precision():
     eye = np.asarray(Linv) @ np.asarray(L)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(384), eye.shape),
                                atol=1e-12)
+
+
+@pytest.mark.parametrize('shape', [(512,), (3, 512), (1024,)])
+def test_tri_inv_doubling_matches_numpy(shape):
+    """Block-doubling triangular inverse == numpy inv of the factor, for
+    2-D and batched stacks, at the shipped block size (M/block a power of
+    two; m1024 uses M=1024, block=128)."""
+    rng = np.random.RandomState(2)
+    M = shape[-1]
+    B = int(np.prod(shape[:-1], dtype=int))
+    S = _spd(rng, max(B, 1), M)
+    L = np.linalg.cholesky(S).reshape(*shape, M)
+    got = np.asarray(pallas_linalg.tri_inv_doubling(
+        jnp.asarray(L), block=128, interpret=True))
+    ref = np.linalg.inv(L.reshape(-1, M, M)).reshape(*shape, M)
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
+    assert (np.triu(got.reshape(-1, M, M)[0], 1) == 0).all()
