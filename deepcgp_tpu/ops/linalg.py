@@ -83,9 +83,23 @@ _INV_PRECISION = {
     'highest': lax.Precision.HIGHEST,
 }[os.environ.get('DEEPCGP_INV_PRECISION', 'high')]
 
+# Precision of the chol_with_inv custom-VJP matmuls.  These produce
+# GRADIENTS only (Kbar -> dZ / kernel hyperparameters) — they never feed a
+# factorization or a predicted value — so they tolerate the single-pass
+# bf16 rate the same way minibatch+MC gradient noise (~10%/step) dwarfs a
+# ~0.4% multiplicative matmul error.  Candidate 'default' is gated on-TPU
+# with tools/precision_gate.py (grad-norm point diff) + tools/soak.py
+# before flipping; CPU f32 is exact at every setting.
+_CHOL_VJP_PRECISION = {
+    'default': lax.Precision.DEFAULT,
+    'high': lax.Precision.HIGH,
+    'highest': lax.Precision.HIGHEST,
+}[os.environ.get('DEEPCGP_CHOL_VJP_PRECISION', 'high')]
+
 
 def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.einsum('...ij,...jk->...ik', a, b, precision=_INV_PRECISION)
+    return jnp.einsum('...ij,...jk->...ik',
+                      a, b, precision=_CHOL_VJP_PRECISION)
 
 
 def _chol_inv_impl(K: jax.Array):
