@@ -47,107 +47,89 @@ from jax.experimental.pallas import tpu as pltpu
 PANEL = int(__import__('os').environ.get('DEEPCGP_PALLAS_PANEL', '64'))
 
 
-def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref):
+def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref, W_ref):
     """Base case: D [b, P, P] (symmetric; lower triangle meaningful) ->
     L = chol(D) and Linv = L^-1, all batch lanes advanced together.
 
-    Two serial recurrences of P steps each — the irreducible sequential
-    depth of a Cholesky — with every step a VPU op on the LIVE slice of
-    the matrix, so the cost is (nearly) independent of b instead of
-    linear in it.
+    ONE serial recurrence of P steps — the irreducible sequential depth
+    of a Cholesky — with every step a VPU op, so the cost is (nearly)
+    independent of b instead of linear in it.
 
-    The recurrences are STATICALLY UNROLLED: a lax.fori_loop body here
+    The recurrence is STATICALLY UNROLLED: a lax.fori_loop body here
     costs ~2us of loop machinery per iteration on Mosaic (768 iterations
     made the kernel no faster than the serial XLA custom call it
     replaces); with static j every column/pivot access is a static slice
     and the whole factorization is one straight-line vector program.
 
-    Third-generation SLICED formulation (the second ran every downdate
-    unmasked on the full [b, P, P] value): with j static after the
-    unroll, the rank-1 downdate can address ONLY the live trailing block
-    D[:, j+1:, j+1:] of a scratch ref — the processed rows are never
-    read again, so they need neither masking NOR touching.  The average
-    step streams half the rows (P/3 of the elements), and the factor
-    columns / inverse rows commit by static-slice REF stores into
-    zero-initialized outputs (no wheres at all).  The inverse rows
-    likewise read only Linv[:, :i, :] — the rows already written.
-    Measured 41 -> 27us/call at [20, 64, 64] in the NatGrad step.
+    Fourth-generation AUGMENTED-ELIMINATION formulation.  The third
+    generation ran two chained P-step phases (sliced rank-1 Cholesky
+    downdates, then row-streaming forward substitution for the inverse),
+    each on <=P-lane-wide values — at the shipped P=64 every VPU op
+    wasted the upper half of its 128-lane tile as padding.  This one
+    runs Gaussian elimination on the augmented working matrix W = [D | I]
+    ([b, P, 2P], lane-exact at P=64): step j emits the factor column
+    (cvec = W[j:, j] * rsqrt(pivot)), emits the inverse ROW
+    (Linv[j, :] = W[j, P:] * rsqrt(pivot) — row j of the elimination
+    product M satisfies diag(1/l_jj) M = L^-1 and is final before step j
+    reads it), and applies ONE full-width rank-1 update to the rows
+    below.  The left-half arithmetic is the exact Cholesky downdate
+    (W[i,k] -= W[i,j] W[j,k] / pivot); the right half applies the same
+    multipliers to I, i.e. forward substitution re-ordered.  Relative to
+    generation three this merges the inverse phase into the padding
+    lanes the factor phase already paid for — half the vector ops and
+    ONE dependency chain of P steps instead of two chained ones.
+    Processed left-half columns take unmasked pollution (never read
+    again); right-half lanes > j of row j are structural zeros.
     """
     b, P, _ = D_ref.shape
     dtype = D_ref.dtype
-    colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)     # lane index
+    rid = lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    cid = lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    eye = (rid == cid).astype(dtype)
 
-    # Working matrix lives in Linv_ref (unused until the inverse phase,
-    # which re-zeroes it) — no dedicated scratch allocation needed.
-    Linv_ref[:] = D_ref[:]
+    W_ref[:, :, :P] = D_ref[:]
+    W_ref[:, :, P:] = jnp.broadcast_to(eye, (b, P, P))
     L_ref[:] = jnp.zeros((b, P, P), dtype)
     for j in range(P):
-        colj = Linv_ref[:, j:, j:j + 1]                    # [b, P-j, 1] live
-        inv_piv = lax.rsqrt(colj[:, :1])                   # [b, 1, 1]
-        cvec = colj * inv_piv
+        rowj = W_ref[:, j:j + 1, :]                        # [b, 1, 2P]
+        rsq = lax.rsqrt(rowj[:, :, j:j + 1])               # [b, 1, 1]
+        Linv_ref[:, j:j + 1, :] = rowj[:, :, P:] * rsq
+        colj = W_ref[:, j:, j:j + 1]                       # [b, P-j, 1] live
+        cvec = colj * rsq
         L_ref[:, j:, j:j + 1] = cvec
         if j + 1 < P:
-            crow = Linv_ref[:, j:j + 1, j + 1:] * inv_piv  # [b, 1, P-j-1]
-            Linv_ref[:, j + 1:, j + 1:] = (
-                Linv_ref[:, j + 1:, j + 1:] - cvec[:, 1:] * crow)
-
-    # Forward substitution for X = L^-1, one row per step:
-    #   X[i, :] = (e_i - sum_{p<i} L[i, p] X[p, :]) / L[i, i],
-    # reading only the i rows already written (static slices).
-    L = L_ref[:]
-    LT = jnp.swapaxes(L, 1, 2)          # one relayout; LT[:, p, i] = L[i, p]
-    Linv_ref[:] = jnp.zeros((b, P, P), dtype)
-    for i in range(P):
-        onehot = (colid == i).astype(dtype)
-        lii = L[:, i:i + 1, i:i + 1]
-        if i == 0:
-            Linv_ref[:, :1, :] = onehot / lii
-            continue
-        w = LT[:, :i, i:i + 1]                             # [b, i, 1]
-        contrib = jnp.sum(w * Linv_ref[:, :i, :], axis=1, keepdims=True)
-        Linv_ref[:, i:i + 1, :] = (onehot - contrib) / lii
+            W_ref[:, j + 1:, :] = (
+                W_ref[:, j + 1:, :] - (cvec[:, 1:] * rsq) * rowj)
 
 
-def _chol_inv_base_kernel_upper(D_ref, R_ref, Rinv_ref):
+def _chol_inv_base_kernel_upper(D_ref, R_ref, Rinv_ref, W_ref):
     """Upper-triangular mirror of :func:`_chol_inv_base_kernel`:
     D [b, P, P] symmetric -> R UPPER-triangular with R R^T = D, and
-    Rinv = R^-1 (upper).  Same sliced structure, recurrences running
-    from the bottom-right corner — this IS the Cholesky of the
-    index-reversed matrix without materializing the [..., ::-1, ::-1]
-    reverses the NatGrad exchange identity otherwise needs (two
-    [B, M, M] reverse ops per step in the trace); the live block is the
-    LEADING D[:, :j, :j]."""
+    Rinv = R^-1 (upper).  Same augmented-elimination structure, the
+    recurrence running from the bottom-right corner — this IS the
+    Cholesky of the index-reversed matrix without materializing the
+    [..., ::-1, ::-1] reverses the NatGrad exchange identity otherwise
+    needs; the live block is the LEADING W[:, :j, :j], and row j of the
+    right half has structural zeros in lanes < j."""
     b, P, _ = D_ref.shape
     dtype = D_ref.dtype
-    colid = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    rid = lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    cid = lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    eye = (rid == cid).astype(dtype)
 
-    Rinv_ref[:] = D_ref[:]
+    W_ref[:, :, :P] = D_ref[:]
+    W_ref[:, :, P:] = jnp.broadcast_to(eye, (b, P, P))
     R_ref[:] = jnp.zeros((b, P, P), dtype)
     for j in range(P - 1, -1, -1):
-        colj = Rinv_ref[:, :j + 1, j:j + 1]                # [b, j+1, 1] live
-        inv_piv = lax.rsqrt(colj[:, j:j + 1])              # pivot = last row
-        cvec = colj * inv_piv
+        rowj = W_ref[:, j:j + 1, :]                        # [b, 1, 2P]
+        rsq = lax.rsqrt(rowj[:, :, j:j + 1])               # [b, 1, 1]
+        Rinv_ref[:, j:j + 1, :] = rowj[:, :, P:] * rsq
+        colj = W_ref[:, :j + 1, j:j + 1]                   # [b, j+1, 1] live
+        cvec = colj * rsq
         R_ref[:, :j + 1, j:j + 1] = cvec
         if j > 0:
-            crow = Rinv_ref[:, j:j + 1, :j] * inv_piv      # [b, 1, j]
-            Rinv_ref[:, :j, :j] = (Rinv_ref[:, :j, :j]
-                                   - cvec[:, :j] * crow)
-
-    # Back substitution for X = R^-1, bottom row first:
-    #   X[i, :] = (e_i - sum_{p>i} R[i, p] X[p, :]) / R[i, i],
-    # reading only the P-1-i rows already written (static slices).
-    R = R_ref[:]
-    RT = jnp.swapaxes(R, 1, 2)
-    Rinv_ref[:] = jnp.zeros((b, P, P), dtype)
-    for i in range(P - 1, -1, -1):
-        onehot = (colid == i).astype(dtype)
-        rii = R[:, i:i + 1, i:i + 1]
-        if i == P - 1:
-            Rinv_ref[:, P - 1:, :] = onehot / rii
-            continue
-        w = RT[:, i + 1:, i:i + 1]                         # [b, P-1-i, 1]
-        contrib = jnp.sum(w * Rinv_ref[:, i + 1:, :], axis=1, keepdims=True)
-        Rinv_ref[:, i:i + 1, :] = (onehot - contrib) / rii
+            W_ref[:, :j, :] = (
+                W_ref[:, :j, :] - (cvec[:, :j] * rsq) * rowj)
 
 
 def _tri_inv_base_kernel(L_ref, X_ref):
@@ -246,6 +228,7 @@ def _base_call(kernel, D: jax.Array, *, interpret: bool = False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((b, P, 2 * P), D.dtype)],
         interpret=interpret,
     )(D)
 
