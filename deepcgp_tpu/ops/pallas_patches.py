@@ -1,0 +1,252 @@
+"""Pallas L-minor patch extraction (im2col born in its consumer layout).
+
+Why this exists: the slice-form im2col (`ops/patches.py::extract_patches`,
+rebuilding `conv_gp/views.py:34-44` / `conv_gp/layers.py:23-32`) births a
+[N, Hout, Wout, fh*fw, C] stack whose layout XLA then relays repeatedly on
+its way into the cross-covariance / patch-gram matmuls — ~126us/step of the
+flagship's 251us copies bucket is the last layer's [320,36,250] tensor
+bouncing between {0,1,2}/{2,1,0}/{2,0,1} layouts (tools/roofline.py,
+2026-08-18).  Both XLA-level attacks measured as dead ends (minor-axis
+concat 555->334 steps/s; native conv-order extraction 805.8->782.0 — see
+CLAUDE.md).  This kernel writes the [N, P, L] tensor directly from the
+HBM-resident image, L-minor, in ONE pass — the layout its matmuls consume.
+
+The trick that makes every store contiguous: emit patches in TRANSPOSED
+patch order p' = ox * Hout + oy (column-major over the output grid) instead
+of TF's row-major p = oy * Wout + ox.  For a fixed (filter row dy, output
+column ox) the source is one contiguous 2D window of the image value,
+
+    img[b, dy*dil : dy*dil + Hout (step stride), ox*stride*C : +f*C]
+
+and the destination is the contiguous block
+``out[b, ox*Hout:(ox+1)*Hout, dy*f*C:(dy+1)*f*C]`` — f * Wout static
+assignments, zero in-register shuffles, zero masked single-sublane stores.
+The within-patch element order is TF's (fh, fw, C) — only the PATCH order
+changes, so [L]-indexed parameters (inducing patches Z, ARD lengthscales)
+need no permutation; [P]-indexed ones (patch weights) ride
+:func:`transposed_patch_perm`.  Legal wherever the consumer reduces over P
+or permutes its P-weights consistently — the patch-sum kernels
+(`conv_gp/kernels.py:15-137`), where P only ever appears inside a weighted
+sum.  NOT legal for hidden ConvLayer outputs (P is the output identity).
+
+Backward: extraction is linear; the custom VJP transposes the equivalent
+slice-form program (``jax.linear_transpose``), which XLA fuses into the
+pad+add col2im it already executes well (~11us/step at the flagship shape).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deepcgp_tpu.ops.patches import extract_patches, out_size
+
+# Max VMEM block: out [b, P, L] f32 at the flagship shape is b * 36KB;
+# b=64 keeps the out + img blocks ~2.6MB of the 16MB VMEM budget.
+_BLOCK_N = int(os.environ.get('DEEPCGP_PALLAS_EXTRACT_BLOCK', '64'))
+
+
+def transposed_patch_perm(Hout: int, Wout: int) -> np.ndarray:
+    """int32 [P]: ``patches_tp[:, i, :] == patches_tf[:, perm[i], :]``.
+
+    Index i is the transposed (column-major) patch index i = ox*Hout + oy;
+    perm[i] = oy*Wout + ox is its TF row-major position.  Apply the same
+    gather to any [P]-indexed quantity (patch weights) consumed against
+    transposed-order patches."""
+    i = np.arange(Hout * Wout)
+    oy, ox = i % Hout, i // Hout
+    return (oy * Wout + ox).astype(np.int32)
+
+
+def _extract_kernel(img_ref, out_ref, *, f, stride, dilation, Hout, Wout, C):
+    """img [b, H, W*C] -> out [b, Wout*Hout, f*f*C] (transposed patch order).
+
+    f * Wout static assignments, each a contiguous [b, Hout, f*C] window
+    copy (unaligned offsets are static — Mosaic emits the lane/sublane
+    shifts).  ``stride`` steps the source sublanes (strided value slice)
+    and the lane window start; ``dilation`` spaces the filter rows.
+    """
+    img = img_ref[:]                                   # [b, H, W*C]
+    fC = f * C
+
+    def _rows(row0):
+        if stride == 1:
+            return img[:, row0:row0 + Hout, :]
+        # A strided 3D value slice lowers as a gather Mosaic rejects
+        # ("Only 2D gather is supported"); static single-row slices +
+        # concat lower fine and cost Hout register moves per dy.
+        return jnp.concatenate(
+            [img[:, row0 + oy * stride:row0 + oy * stride + 1, :]
+             for oy in range(Hout)], axis=1)
+
+    for dy in range(f):
+        rows = _rows(dy * dilation)                    # [b, Hout, W*C]
+        for ox in range(Wout):
+            lane0 = ox * stride * C
+            if dilation == 1:
+                # Filter columns are lane-contiguous: one [b, Hout, f*C]
+                # window per (dy, ox).
+                out_ref[:, ox * Hout:(ox + 1) * Hout,
+                        dy * fC:(dy + 1) * fC] = rows[:, :, lane0:lane0 + fC]
+            else:
+                # x-dilation spaces the filter columns by dilation*C lanes.
+                for dx in range(f):
+                    out_ref[:, ox * Hout:(ox + 1) * Hout,
+                            (dy * f + dx) * C:(dy * f + dx + 1) * C] = (
+                        rows[:, :, lane0 + dx * dilation * C:
+                             lane0 + dx * dilation * C + C])
+
+
+def _pick_block(N: int) -> int:
+    """Largest divisor of N that is <= _BLOCK_N (grid blocks must tile N)."""
+    for b in range(min(N, _BLOCK_N), 0, -1):
+        if N % b == 0:
+            return b
+    return 1
+
+
+def _pallas_extract(NHWC_X: jax.Array, filter_size: int, stride: int,
+                    dilation: int, *, interpret: bool) -> jax.Array:
+    N, H, W, C = NHWC_X.shape
+    Hout = out_size(H, filter_size, stride, dilation)
+    Wout = out_size(W, filter_size, stride, dilation)
+    P, L = Hout * Wout, filter_size * filter_size * C
+    img = NHWC_X.reshape(N, H, W * C)     # layout-free (W, C adjacent minor)
+    b = _pick_block(N)
+    kern = functools.partial(_extract_kernel, f=filter_size, stride=stride,
+                             dilation=dilation, Hout=Hout, Wout=Wout, C=C)
+    out = pl.pallas_call(
+        kern,
+        grid=(N // b,),
+        in_specs=[pl.BlockSpec((b, H, W * C), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((b, P, L), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, P, L), NHWC_X.dtype),
+        interpret=interpret,
+    )(img)
+    return out
+
+
+def _ref_transposed(NHWC_X: jax.Array, filter_size: int, stride: int,
+                    dilation: int) -> jax.Array:
+    """Slice-form reference producing the SAME output (transposed patch
+    order) — the oracle for tests and the linear map the backward
+    transposes."""
+    N = NHWC_X.shape[0]
+    Hout = out_size(NHWC_X.shape[1], filter_size, stride, dilation)
+    Wout = out_size(NHWC_X.shape[2], filter_size, stride, dilation)
+    NPL = extract_patches(NHWC_X, filter_size, stride, dilation)
+    return NPL.reshape(N, Hout, Wout, -1).swapaxes(1, 2).reshape(
+        N, Hout * Wout, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def extract_patches_transposed(NHWC_X: jax.Array, filter_size: int,
+                               stride: int = 1,
+                               dilation: int = 1) -> jax.Array:
+    """[N, H, W, C] -> [N, P, L] in transposed patch order, L-minor, via one
+    Pallas pass (interpret mode off-TPU so CPU tests cover the kernel)."""
+    return _pallas_extract(NHWC_X, filter_size, stride, dilation,
+                           interpret=jax.default_backend() != 'tpu')
+
+
+def _col2im_kernel(g_ref, out_ref, acc_ref, *, f, stride, dilation, Hout,
+                   Wout, C):
+    """Transpose of :func:`_extract_kernel`: g [b, Wout*Hout, f*f*C] ->
+    dimg [b, H, W*C], accumulating the overlapping windows in a VMEM
+    scratch (each image element belongs to up to f*f patches).  Same 30
+    static window moves as the forward, plus the adds."""
+    b, H, WC = out_ref.shape
+    dtype = out_ref.dtype
+    acc_ref[:] = jnp.zeros((b, H, WC), dtype)
+    g = g_ref[:]
+    fC = f * C
+
+    def _acc(rows, lo, width, piece):
+        # Strided ref slices don't lower (same Mosaic gather limit as the
+        # forward); stride>1 accumulates row-by-row instead.
+        if stride == 1:
+            acc_ref[:, rows[0]:rows[0] + Hout, lo:lo + width] = (
+                acc_ref[:, rows[0]:rows[0] + Hout, lo:lo + width] + piece)
+        else:
+            for oy in range(Hout):
+                r = rows[0] + oy * stride
+                acc_ref[:, r:r + 1, lo:lo + width] = (
+                    acc_ref[:, r:r + 1, lo:lo + width]
+                    + piece[:, oy:oy + 1])
+
+    for ox in range(Wout):
+        lane0 = ox * stride * C
+        for dy in range(f):
+            row0 = dy * dilation
+            gblk = g[:, ox * Hout:(ox + 1) * Hout,
+                     dy * fC:(dy + 1) * fC]             # [b, Hout, fC]
+            if dilation == 1:
+                _acc((row0,), lane0, fC, gblk)
+            else:
+                for dx in range(f):
+                    _acc((row0,), lane0 + dx * dilation * C, C,
+                         gblk[:, :, dx * C:(dx + 1) * C])
+    out_ref[:] = acc_ref[:]
+
+
+def _pallas_col2im(g: jax.Array, img_shape, filter_size: int, stride: int,
+                   dilation: int, *, interpret: bool) -> jax.Array:
+    N, H, W, C = img_shape
+    Hout = out_size(H, filter_size, stride, dilation)
+    Wout = out_size(W, filter_size, stride, dilation)
+    P, L = Hout * Wout, filter_size * filter_size * C
+    b = _pick_block(N)
+    kern = functools.partial(_col2im_kernel, f=filter_size, stride=stride,
+                             dilation=dilation, Hout=Hout, Wout=Wout, C=C)
+    out = pl.pallas_call(
+        kern,
+        grid=(N // b,),
+        in_specs=[pl.BlockSpec((b, P, L), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((b, H, W * C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, W * C), g.dtype),
+        scratch_shapes=[pltpu.VMEM((b, H, W * C), g.dtype)],
+        interpret=interpret,
+    )(g)
+    return out.reshape(N, H, W, C)
+
+
+def _fwd(NHWC_X, filter_size, stride, dilation):
+    # The primal rides along only for its static shape/dtype (it is a step
+    # input either way, so this adds no residual memory).
+    return (extract_patches_transposed(NHWC_X, filter_size, stride, dilation),
+            NHWC_X)
+
+
+def _bwd(filter_size, stride, dilation, res, g):
+    # Pallas col2im: the XLA transpose of the slice-form program relayouts
+    # the [N, P, L] cotangent back through the stacked-intermediate layouts
+    # (~80us/step of fresh copies at the flagship shape, measured) — the
+    # mirrored kernel accumulates the overlapping windows in VMEM instead.
+    dimg = _pallas_col2im(g, res.shape, filter_size, stride, dilation,
+                          interpret=jax.default_backend() != 'tpu')
+    return (dimg.astype(res.dtype),)
+
+
+extract_patches_transposed.defvjp(_fwd, _bwd)
+
+
+def supports(view) -> bool:
+    """True when the Pallas path may replace the slice-form extraction for
+    PATCH-SUM consumers over ``view``: FullView geometry (partial views
+    select patches by TF index), a whole-image row [H, W*C] that fits VMEM
+    comfortably, and the knob on (default ON; DEEPCGP_PALLAS_EXTRACT=0
+    disables for A/B)."""
+    from deepcgp_tpu.models.views import FullView
+    default = '1' if jax.default_backend() == 'tpu' else '0'
+    if os.environ.get('DEEPCGP_PALLAS_EXTRACT', default) == '0':
+        return False
+    if not isinstance(view, FullView):
+        return False
+    H, W = view.input_size
+    return H * W * view.feature_maps <= 1 << 16

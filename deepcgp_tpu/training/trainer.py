@@ -171,6 +171,26 @@ def train_step(state: TrainState, config: TrainConfig, xb, yb) -> tuple:
                          key=key, prev_model=new_prev), -loss
 
 
+def scan_unroll(config: TrainConfig, num_steps: int) -> int:
+    """Unroll factor of :func:`run_chunk`'s step scan — the single source of
+    truth shared with bench.py's XLA cost-analysis divisor (XLA counts the
+    scan BODY once, so the program total is per-step * unroll).
+
+    Unrolling the scan amortizes the while-loop machinery (condition
+    evaluation, carry/trace dynamic-update-slices — profiled ~110us/step of
+    ~350 sub-microsecond ops at unroll=2 on the NatGrad flagship) over more
+    steps per iteration, at the cost of compile time.  Swept on v5e:
+    unroll=4 gains the Adam configs ~1.5% (flagship 776->786, M=1024
+    573->583 steps/s) but LOSES NatGrad 540->528 (its bigger body blows past
+    a cache/VMEM sweet spot), so the default is per-optimizer;
+    DEEPCGP_SCAN_UNROLL overrides for re-sweeping."""
+    default_unroll = 2 if config.optimizer == 'NatGrad' else 4
+    unroll = int(os.environ.get('DEEPCGP_SCAN_UNROLL', default_unroll))
+    while unroll > 1 and num_steps % unroll:
+        unroll //= 2
+    return max(unroll, 1)
+
+
 def run_chunk_impl(state: TrainState, config: TrainConfig, X_train, Y_train,
                    num_steps: int):
     """Traced body of :func:`run_chunk` — ``num_steps`` optimizer iterations
@@ -204,20 +224,8 @@ def run_chunk_impl(state: TrainState, config: TrainConfig, X_train, Y_train,
         state, elbo = train_step(state.replace(key=key), config, xb, yb)
         return state, elbo
 
-    # Unrolling the scan amortizes the while-loop machinery (condition
-    # evaluation, carry/trace dynamic-update-slices — profiled ~110us/step
-    # of ~350 sub-microsecond ops at unroll=2 on the NatGrad flagship)
-    # over more steps per iteration, at the cost of compile time.  Swept on
-    # v5e: unroll=4 gains the Adam configs ~1.5% (flagship 776->786, M=1024
-    # 573->583 steps/s) but LOSES NatGrad 540->528 (its bigger body blows
-    # past a cache/VMEM sweet spot), so the default is per-optimizer;
-    # DEEPCGP_SCAN_UNROLL overrides for re-sweeping.
-    default_unroll = 2 if config.optimizer == 'NatGrad' else 4
-    unroll = int(os.environ.get('DEEPCGP_SCAN_UNROLL', default_unroll))
-    while unroll > 1 and num_steps % unroll:
-        unroll //= 2
     state, elbos = lax.scan(body, state, length=num_steps,
-                            unroll=max(unroll, 1))
+                            unroll=scan_unroll(config, num_steps))
 
     if config.optimizer == 'NatGrad':
         # Terminal verification: the deferred NatGrad check means the LAST
