@@ -1,10 +1,16 @@
-.PHONY: test bench dryrun native mnist-parity cifar-parity
+.PHONY: test test-fast bench dryrun native \
+	mnist-parity mnist-parity-m1024 cifar-parity
 
-# Real-data accuracy parity vs the reference's committed N60000_M64 run
-# (0.9769 final accuracy).  Needs mnist.npz under $DEEPCGP_DATA_DIR
-# (or ~/.cache/deepcgp); refuses the synthetic fallback.
+# Real-data accuracy parity: TWO explicit MNIST targets (ADVICE r3).
+# Both need mnist.npz under $DEEPCGP_DATA_DIR (or ~/.cache/deepcgp);
+# the scripts refuse the synthetic fallback.
+#   mnist-parity       — N60000_M64 artifact, 0.9769 final accuracy
+#   mnist-parity-m1024 — N60000_M1024 north star, 0.9865 final accuracy
 mnist-parity:
 	python examples/mnist_parity.py
+
+mnist-parity-m1024:
+	python examples/mnist_parity.py --m1024
 
 # Real-data accuracy parity vs the reference's committed cifar_fm10 run
 # (0.7385 final accuracy).  Needs cifar10.npz under $DEEPCGP_DATA_DIR.
@@ -13,6 +19,10 @@ cifar-parity:
 
 test:
 	python -m pytest tests/ -q
+
+# Fast tier: skips the @pytest.mark.slow matrix tests (~<10 min).
+test-fast:
+	python -m pytest tests/ -q -m 'not slow'
 
 bench:
 	python bench.py

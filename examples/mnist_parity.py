@@ -1,9 +1,13 @@
 """Turnkey MNIST accuracy-parity reproduction.
 
-Reproduces the reference's committed N=60000, M=64 ARTIFACT run
-(`/root/reference/results/N60000_M64/`: single ConvKernel SVGP layer,
-lr 0.01, lr_decay_steps 25000, test_every 5000) and asserts the final
-test accuracy against its final row (0.9769, `log.csv`).
+TWO separate acceptance targets, both reference-committed artifacts with
+the same schedule family (single ConvKernel SVGP layer, lr 0.01,
+lr_decay_steps 25000, test_every 5000, continuous decay, 15 epochs):
+
+* default        — N=60000, M=64  (`/root/reference/results/N60000_M64/`),
+                   final accuracy 0.9769;
+* ``--m1024``    — N=60000, M=1024 (`.../results/N60000_M1024/`), the
+                   north-star headline, final accuracy 0.9865.
 
 Schedule provenance (the two disagree — both are honored):
 * the artifact's lr column is 0.01 * 0.1^(t/25000) — CONTINUOUS decay —
@@ -43,7 +47,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--threshold', type=float, default=None,
                         help="Final-accuracy assertion; default 0.9769 "
-                             "(the reference's committed M=64 result).")
+                             "(the reference's committed M=64 result), or "
+                             "0.9865 with --m1024.")
+    parser.add_argument('--m1024', action='store_true',
+                        help="North-star config: N=60000, M=1024 "
+                             "(results/N60000_M1024, 0.9865 final).")
     parser.add_argument('--fast', action='store_true',
                         help="N=10000 shortened schedule for smoke checks.")
     parser.add_argument('--log-dir', type=str, default='results')
@@ -66,12 +74,15 @@ def main(argv=None):
             '--lr-decay-steps', '5000', '--test-every', '5000',
             '--log-dir', args.log_dir, '--no-tensorboard'])
     else:
-        threshold = args.threshold if args.threshold is not None else 0.974
         # The ARTIFACT schedule (see module docstring): continuous decay,
         # driven for the artifact's 15 logged epochs (75k steps) rather
-        # than train_steps' 60k.
+        # than train_steps' 60k.  Margins (0.974 / 0.983 vs the artifacts'
+        # 0.9769 / 0.9865) allow cross-framework trajectory variance;
+        # --threshold overrides for the exact-or-better check.
+        M, artifact = ('1024', 0.983) if args.m1024 else ('64', 0.974)
+        threshold = args.threshold if args.threshold is not None else artifact
         flags = read_args([
-            '--name', 'mnist_parity_m64', '-N', '60000', '-M', '64',
+            '--name', f'mnist_parity_m{M}', '-N', '60000', '-M', M,
             '--feature-maps', '', '--filter-sizes', '5', '--strides', '1',
             '--lr-decay-steps', '25000', '--test-every', '5000',
             '--lr-decay-continuous',
@@ -89,9 +100,10 @@ def main(argv=None):
 
     acc = experiment.test_accuracy()
     status = 'PASS' if acc >= threshold else 'FAIL'
+    ref = 0.9865 if args.m1024 else 0.9769
     print(f"mnist-parity: final test_accuracy={acc:.4f} "
           f"threshold={threshold:.4f} "
-          f"(reference artifact 0.9769) -> {status}")
+          f"(reference artifact {ref}) -> {status}")
     return 0 if acc >= threshold else 1
 
 

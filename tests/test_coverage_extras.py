@@ -2,6 +2,7 @@
 patch-covariance task, full-cov sampling."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,6 +97,7 @@ def test_sample_from_conditional_full_cov():
         rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_regression_dgp_learns_step_function():
     """Gaussian-likelihood deep GP regression (the DGP core is likelihood-
     agnostic): ELBO improves and RMSE approaches the noise floor."""

@@ -5,6 +5,7 @@ import types
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepcgp_tpu.models.builder import BuilderFlags, build_model
 from deepcgp_tpu.training import data, trainer
@@ -71,6 +72,7 @@ def _tiny_state():
     return state, config, X, Y
 
 
+@pytest.mark.slow
 def test_full_state_checkpoint_roundtrip(tmp_path):
     state, config, X, Y = _tiny_state()
     Xd = jnp.asarray(X.reshape(32, -1))
@@ -160,6 +162,7 @@ def test_latest_state_ignores_orbax_tmp_dirs(tmp_path):
     assert ckpt.latest_train_state_step(str(tmp_path)) == 5
 
 
+@pytest.mark.slow
 def test_resume_runs_remainder_of_schedule(tmp_path):
     """A resumed run executes only the remaining chunks of the flags'
     schedule (full-state resume restores the step)."""

@@ -8,12 +8,14 @@ Kuf (ops/conv_cross.py) executes inside vmap with per-sample inputs; no
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepcgp_tpu.models.builder import BuilderFlags, build_model
 from deepcgp_tpu.training import trainer
 from deepcgp_tpu.training.trainer import TrainConfig
 
 
+@pytest.mark.slow
 def test_three_layer_model_trains():
     rng = np.random.RandomState(0)
     flags = BuilderFlags(M='8,8,8', feature_maps='2,2',

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepcgp_tpu.models.builder import BuilderFlags, build_model
 from deepcgp_tpu.utils import diagnostics as diag
@@ -19,6 +20,7 @@ def _tiny_model():
                        dtype=jnp.float32), X, Y
 
 
+@pytest.mark.slow
 def test_elbo_f32_f64_drift_small():
     model, X, Y = _tiny_model()
     out = diag.elbo_drift(model, X[:16].reshape(16, -1), Y[:16],

@@ -1,6 +1,7 @@
 """Analytic FLOP accounting sanity (utils/flops.py, SURVEY.md §7.9)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,7 @@ def test_training_step_flops_sample_sharing():
     assert fl_s2 < fl_s4 < 2 * fl_s2
 
 
+@pytest.mark.slow
 def test_flops_order_of_magnitude_vs_xla():
     """The analytic *hardware* count (what the inverse-form implementation
     executes) must agree with XLA's cost analysis of the real

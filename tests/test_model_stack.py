@@ -277,6 +277,7 @@ def _tiny_dgp(dtype=jnp.float64):
                num_samples=4)
 
 
+@pytest.mark.slow
 def test_dgp_propagate_shapes_and_elbo_composition():
     model = _tiny_dgp()
     X = jnp.asarray(RNG.randn(6, 64))
@@ -378,6 +379,7 @@ def test_prob_each_is_largest_matches_per_class_loop():
     np.testing.assert_allclose(batched.sum(axis=1), 1.0, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_conv_layer_with_random_partial_view_and_patchwise_mean():
     """RandomPartialView + PatchwiseConv2d, the reference's patch-subset
     configuration (`conv_gp/views.py:70-117`, `mean_functions.py:43-59`):

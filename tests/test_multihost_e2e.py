@@ -16,6 +16,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = textwrap.dedent("""
@@ -50,6 +52,8 @@ _WORKER = textwrap.dedent("""
         exp.conclude()
 """)
 
+
+pytestmark = pytest.mark.slow  # full-pipeline matrix / multi-process tests (fast tier skips)
 
 def _launch_pair(tmp_path, worker, log_dirs, extra=(), port_salt=0):
     port = str(20000 + (os.getpid() + port_salt) % 20000)

@@ -24,6 +24,8 @@ from deepcgp_tpu.training.trainer import TrainConfig
 RTOL = 1e-6   # VERDICT r1 item 1 requirement: rel <= 1e-6 over >= 50 steps
 
 
+pytestmark = pytest.mark.slow  # full-pipeline matrix / multi-process tests (fast tier skips)
+
 def _assert_close(a, b, msg):
     """rtol 1e-6 with an atol floor scaled to the ARRAY's magnitude:
     near-zero elements of an O(s) array receive Adam updates whose
