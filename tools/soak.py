@@ -25,13 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def blobs(n, shape, classes, seed):
-    """Gaussian class blobs in image space: class k = smooth template_k +
-    noise; linearly separable but image-shaped."""
-    rng = np.random.RandomState(seed)
-    templates = rng.randn(classes, *shape).astype(np.float32)
-    y = rng.randint(0, classes, size=(n, 1))
-    X = templates[y[:, 0]] + 0.3 * rng.randn(n, *shape).astype(np.float32)
-    return X.astype(np.float32), y
+    """Shared with bench.py's numerics probe — see data.learnable_blobs."""
+    from deepcgp_tpu.training.data import learnable_blobs
+    return learnable_blobs(n, shape, classes, seed)
 
 
 def main():
