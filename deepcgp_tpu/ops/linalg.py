@@ -112,16 +112,19 @@ def _chol_inv_impl(K: jax.Array):
     tests, f64 oracles, odd M) it is the plain XLA Cholesky plus one
     M-rhs triangular solve.  Both give NaN on a non-PD input, so callers'
     finite checks keep working."""
+    from deepcgp_tpu.ops import pallas_linalg
+    # DEEPCGP_PALLAS_FORCE=1 runs the Pallas path (interpret mode) on CPU
+    # meshes so the pjit+pallas_call composition is CI-covered.
+    tpu_like = (jax.default_backend() == 'tpu' or pallas_linalg.forced())
     M = K.shape[-1]
     if (K.dtype == jnp.float32 and M % 64 == 0 and M <= 512
-            and K.ndim in (2, 3) and jax.default_backend() == 'tpu'):
-        from deepcgp_tpu.ops import pallas_linalg
+            and K.ndim in (2, 3) and tpu_like):
         KB = K[None] if K.ndim == 2 else K
         L, Linv = pallas_linalg.chol_inv_batched(KB)
         return (L[0], Linv[0]) if K.ndim == 2 else (L, Linv)
     if (K.dtype == jnp.float32 and M > 512 and M % 128 == 0
             and ((M // 128) & (M // 128 - 1)) == 0
-            and jax.default_backend() == 'tpu'):
+            and tpu_like):
         # Large M: XLA's blocked Cholesky base cases are fast at small
         # batch, but its eye-TRSM for the inverse sweeps [128,128] panels
         # SERIALLY (m1024: TRSM 138us + InvertDiagBlocks 81us/step).  Take

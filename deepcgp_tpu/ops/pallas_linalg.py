@@ -31,6 +31,7 @@ training — see the round-2 tri_inverse note in CLAUDE.md).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,36 @@ from jax.experimental.pallas import tpu as pltpu
 # fewer dispatch-bound tiny block einsums in the driver (the panel=32
 # loss), while the base kernel's serial recurrence depth stays half of
 # panel=128's (74us/call at 128 vs 21us at 64).
-PANEL = int(__import__('os').environ.get('DEEPCGP_PALLAS_PANEL', '64'))
+PANEL = int(os.environ.get('DEEPCGP_PALLAS_PANEL', '64'))
+
+
+def forced() -> bool:
+    """DEEPCGP_PALLAS_FORCE=1 makes the TPU-only Pallas gates
+    (linalg._chol_inv_impl, optim._use_pallas_factor) take the Pallas path
+    on ANY backend — in interpret mode off-TPU — so a CPU mesh test can
+    cover the pjit+pallas_call composition a real multi-chip TPU run would
+    execute (VERDICT r3 missing #2)."""
+    return bool(os.environ.get('DEEPCGP_PALLAS_FORCE'))
+
+
+def _interp(interpret: bool | None) -> bool:
+    """None -> auto: interpret mode anywhere but a real TPU backend."""
+    if interpret is None:
+        return jax.default_backend() != 'tpu'
+    return interpret
+
+
+# Dead end (round 4, measured): a gen-5 MINI-PANEL variant of the base
+# kernels — narrow per-column row/panel updates inside a width-8 block,
+# then ONE full-width rank-8 trailing pass per block — was built on the
+# theory that the kernel is VMEM-bandwidth bound (rank-1 passes re-read
+# the trailing block P times).  It measured NEUTRAL-to-worse (NatGrad
+# flagship 600.2 -> 604.1 steps/s, per-call 23.6 -> 25.2us): at P=64 the
+# full 2P=128-lane width is exactly ONE lane tile, so every rank-1 pass
+# is already minimal in VPU instructions, and instruction issue (b x
+# rows/8 vregs x 2 ops per step), not VMEM traffic, is the binding
+# resource — rank-w blocking keeps the same instruction count and adds
+# the narrow phase-1/2 ops.  Don't re-try at single-tile widths.
 
 
 def _chol_inv_base_kernel(D_ref, L_ref, Linv_ref, W_ref):
@@ -155,8 +185,9 @@ def _tri_inv_base_kernel(L_ref, X_ref):
         X_ref[:, i:i + 1, :] = (onehot - contrib) / lii
 
 
-def tri_inv_base(L: jax.Array, *, interpret: bool = False) -> jax.Array:
+def tri_inv_base(L: jax.Array, *, interpret: bool | None = None) -> jax.Array:
     """[b, P, P] lower-triangular -> L^-1, one Pallas call."""
+    interpret = _interp(interpret)
     b, P, _ = L.shape
     out = jax.ShapeDtypeStruct((b, P, P), L.dtype)
     return pl.pallas_call(
@@ -169,7 +200,7 @@ def tri_inv_base(L: jax.Array, *, interpret: bool = False) -> jax.Array:
 
 
 def tri_inv_doubling(L: jax.Array, *, block: int = 128,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool | None = None) -> jax.Array:
     """L [..., M, M] lower-triangular -> L^-1 by recursive block DOUBLING:
 
         inv([[A, 0], [B, C]]) = [[A^-1, 0], [-C^-1 B A^-1, C^-1]]
@@ -219,7 +250,8 @@ def tri_inv_doubling(L: jax.Array, *, block: int = 128,
     return invs[0].reshape(*batch, M, M)
 
 
-def _base_call(kernel, D: jax.Array, *, interpret: bool = False):
+def _base_call(kernel, D: jax.Array, *, interpret: bool | None = None):
+    interpret = _interp(interpret)
     b, P, _ = D.shape
     out = jax.ShapeDtypeStruct((b, P, P), D.dtype)
     return pl.pallas_call(
@@ -233,18 +265,18 @@ def _base_call(kernel, D: jax.Array, *, interpret: bool = False):
     )(D)
 
 
-def chol_inv_base(D: jax.Array, *, interpret: bool = False):
+def chol_inv_base(D: jax.Array, *, interpret: bool | None = None):
     """[b, P, P] symmetric -> (chol(D), chol(D)^-1), one Pallas call."""
     return _base_call(_chol_inv_base_kernel, D, interpret=interpret)
 
 
-def chol_inv_base_upper(D: jax.Array, *, interpret: bool = False):
+def chol_inv_base_upper(D: jax.Array, *, interpret: bool | None = None):
     """[b, P, P] symmetric -> (R, R^-1) with R upper, R R^T = D."""
     return _base_call(_chol_inv_base_kernel_upper, D, interpret=interpret)
 
 
 def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
-                     interpret: bool = False):
+                     interpret: bool | None = None):
     """Blocked right-looking Cholesky of a batch of SPD matrices, plus the
     explicit inverse of the factor: A [B, M, M] (M a multiple of 128) ->
     (L, Linv) with L lower-triangular, L L^T = A, Linv = L^-1.
@@ -306,7 +338,7 @@ def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
 
 
 def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
-                           interpret: bool = False):
+                           interpret: bool | None = None):
     """Upper-triangular mirror of :func:`chol_inv_batched`:
     A [B, M, M] SPD -> (R, Rinv) with R UPPER-triangular, R R^T = A,
     Rinv = R^-1.  Equivalent to flipping both index axes of
@@ -365,3 +397,64 @@ def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
         jnp.concatenate([Xb.get((i, j), zero) for j in range(np_)], axis=2)
         for i in range(np_)], axis=1)
     return R, Rinv
+
+
+def chol_right_solve_upper(A: jax.Array, X: jax.Array, *,
+                           panel: int = PANEL,
+                           precision=lax.Precision.HIGHEST,
+                           interpret: bool | None = None) -> jax.Array:
+    """A [B, M, M] SPD, X [B, N, M] -> Y = X R^-T where R is the UPPER
+    Cholesky-like factor (R R^T = A), WITHOUT materializing R^-1.
+
+    Why: the NatGrad consumer (training/optim.py:natgrad_update) only ever
+    uses R^-1 as ``W_new = W R^-T``.  Assembling the explicit inverse costs
+    the O(np^3/6) block forward-substitution loop of
+    :func:`chol_inv_batched_upper` — ~50 dispatch-bound [B, P, P] einsums
+    at np=6 (~150us/step on the NatGrad flagship, tools/roofline.py
+    per-source table) — plus the final [B, M, M] x [B, M, M] apply
+    (~49us).  Solving the PRODUCT directly is plain block
+    back-substitution on Y R^T = X,
+
+        Y_k = (X_k - sum_{l>k} Y_l R[k,l]^T) Rkk^-T,   k = np-1 .. 0,
+
+    np(np+1)/2 [B, N, P] einsums total — fewer, meatier matmuls, and
+    exact (associativity aside) vs the inverse-then-multiply route.
+
+    The factor phase is identical to :func:`chol_inv_batched_upper`
+    (Pallas base cases at HIGHEST); ``precision`` governs only the
+    back-substitution products, whose result feeds the caller's state.
+    """
+    B, M, M2 = A.shape
+    P = min(panel, M)
+    assert M == M2 and M % P == 0, (B, M, M2, panel)
+    np_ = M // P
+
+    if np_ == 1:
+        _, Dinv0 = chol_inv_base_upper(A, interpret=interpret)
+        return jnp.einsum('bnp,bqp->bnq', X, Dinv0, precision=precision)
+
+    HI = lax.Precision.HIGHEST
+    Rb = {}
+    Dinv = {}
+    rem = A
+    for k in range(np_ - 1, 0, -1):
+        Rkk, Rkkinv = chol_inv_base_upper(rem[:, -P:, -P:],
+                                          interpret=interpret)
+        Dinv[k] = Rkkinv
+        A12 = rem[:, :-P, -P:]
+        R12 = jnp.einsum('brp,bqp->brq', A12, Rkkinv, precision=HI)
+        rem = rem[:, :-P, :-P] - jnp.einsum(
+            'brp,bsp->brs', R12, R12, precision=HI)
+        for i in range(k):
+            Rb[(i, k)] = R12[:, i * P:(i + 1) * P]
+    _, Dinv[0] = chol_inv_base_upper(rem, interpret=interpret)
+
+    Yb = {}
+    for k in range(np_ - 1, -1, -1):
+        acc = X[:, :, k * P:(k + 1) * P]                   # [B, N, P]
+        for l in range(k + 1, np_):
+            acc = acc - jnp.einsum('bnp,bqp->bnq', Yb[l], Rb[(k, l)],
+                                   precision=precision)
+        Yb[k] = jnp.einsum('bnp,bqp->bnq', acc, Dinv[k],
+                           precision=precision)
+    return jnp.concatenate([Yb[k] for k in range(np_)], axis=2)

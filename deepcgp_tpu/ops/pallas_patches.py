@@ -243,7 +243,9 @@ def supports(view) -> bool:
     comfortably, and the knob on (default ON; DEEPCGP_PALLAS_EXTRACT=0
     disables for A/B)."""
     from deepcgp_tpu.models.views import FullView
-    default = '1' if jax.default_backend() == 'tpu' else '0'
+    from deepcgp_tpu.ops import pallas_linalg
+    default = ('1' if jax.default_backend() == 'tpu'
+               or pallas_linalg.forced() else '0')
     if os.environ.get('DEEPCGP_PALLAS_EXTRACT', default) == '0':
         return False
     if not isinstance(view, FullView):

@@ -58,8 +58,10 @@ _STATE_PRECISION = {
 def _use_pallas_factor(dtype, M: int) -> bool:
     """Gate for the batch-parallel NatGrad factorization: TPU backend,
     f32, lane-aligned M.  DEEPCGP_NO_PALLAS_NATGRAD=1 falls back to the
-    XLA custom-call route (also used on CPU meshes and in f64 oracles)."""
-    return (jax.default_backend() == 'tpu'
+    XLA custom-call route (also used on CPU meshes and in f64 oracles);
+    DEEPCGP_PALLAS_FORCE=1 takes this path on CPU too (interpret mode) so
+    mesh tests cover the pjit+pallas_call composition."""
+    return ((jax.default_backend() == 'tpu' or pallas_linalg.forced())
             and dtype == jnp.float32
             and M % pallas_linalg.PANEL == 0
             and not os.environ.get('DEEPCGP_NO_PALLAS_NATGRAD'))
@@ -86,6 +88,61 @@ def gamma_schedule(step, steps_back, gamma0: float):
     t = step.astype(jnp.float64 if jax.config.jax_enable_x64
                     else jnp.float32) / 100.0
     return jnp.minimum((t * 1e-3 + gamma0) * jnp.power(0.2, steps_back), 1.0)
+
+
+# ------------------------------------------------- Adam with bf16 moments
+
+
+def scale_by_adam_storage(storage_dtype=None, b1=0.9, b2=0.999, eps=1e-8):
+    """optax.scale_by_adam with the moment STORAGE dtype decoupled from the
+    update arithmetic (which stays in the parameter dtype, f32).
+
+    Why: the m1024 config's Adam+commit mega-fusions are HBM-bandwidth
+    bound — they stream the [10, 1024, 1024] f32 (m, v) stacks in and out
+    every step (~315us/step, tools/roofline.py).  bf16 moments halve 2/3
+    of that traffic.  The arithmetic is unchanged: moments are upcast to
+    f32, updated with the exact optax recurrences + bias correction, and
+    rounded once on store — so the only new error is one bf16 rounding of
+    (m, v) per step (~0.4% relative), against gradient noise that is
+    orders larger.  Gated on-TPU with tools/precision_gate.py + the soak
+    protocol before any default flip (VERDICT r3 next #5).
+
+    With ``storage_dtype=None`` this is arithmetically identical to
+    ``optax.scale_by_adam`` (pinned by
+    test_training.py::test_adam_storage_matches_optax).
+    """
+    def init(params):
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(
+                p, dtype=storage_dtype or p.dtype), params)
+        zeros2 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(
+                p, dtype=storage_dtype or p.dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=zeros, nu=zeros2)
+
+    def update(updates, state, params=None):
+        del params
+        count_inc = state.count + 1
+        c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+
+        def one(g, m, v):
+            mf = m.astype(g.dtype)
+            vf = v.astype(g.dtype)
+            mf = b1 * mf + (1.0 - b1) * g
+            vf = b2 * vf + (1.0 - b2) * jnp.square(g)
+            u = (mf / c1.astype(g.dtype)) / (
+                jnp.sqrt(vf / c2.astype(g.dtype)) + eps)
+            return u, mf.astype(m.dtype), vf.astype(v.dtype)
+
+        out = jax.tree_util.tree_map(one, updates, state.mu, state.nu)
+        us, mus, nus = jax.tree_util.tree_transpose(
+            jax.tree_util.tree_structure(updates),
+            jax.tree_util.tree_structure((0, 0, 0)), out)
+        return us, optax.ScaleByAdamState(count=count_inc, mu=mus, nu=nus)
+
+    return optax.GradientTransformation(init, update)
 
 
 # ------------------------------------------------------------ trainable mask
@@ -265,17 +322,18 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
     # transpose is absorbed into the dot_general's contracting dims
     # (both operands contract their LAST axis; no transpose copy).
     if _use_pallas_factor(W.dtype, M):
-        # Batch-parallel chol + triangular inverse in one Pallas-based
-        # pass: XLA's batched chol/TRSM custom calls run the batch
-        # SERIALLY ([20,384,384]: chol ~1.25ms + TRSM ~610us on v5e);
-        # the Pallas path amortizes the serial panel recurrences across
-        # the batch (ops/pallas_linalg.py), and its upper variant starts
-        # at the bottom-right corner, so the two [R, M, M] index
-        # reverses of the explicit J...J sandwich disappear.  G is
-        # near-identity, so the explicit inverse is numerically benign.
-        # Default panel=64 measured best end-to-end (380/426.6/414.6
-        # steps/s at panel 32/64/128 on the NatGrad flagship).
-        _, Rinv = pallas_linalg.chol_inv_batched_upper(G)
+        # Batch-parallel Pallas factorization of G (XLA's batched chol
+        # custom call runs the batch SERIALLY — [20,384,384] ~1.25ms on
+        # v5e), upper variant so the exchange identity's [R, M, M] index
+        # reverses vanish, and W_new = W R^-T by block BACK-SUBSTITUTION
+        # on the product (pallas_linalg.chol_right_solve_upper) — the
+        # explicit R^-1 was only ever used in this one product, and its
+        # O(np^3/6) block assembly was ~150us/step of dispatch-bound
+        # [20, 64, 64] einsums plus a 49us final apply (round-4 roofline
+        # per-source table).  Default panel=64 measured best end-to-end
+        # (380/426.6/414.6 steps/s at panel 32/64/128, gen-2 era).
+        W_new = pallas_linalg.chol_right_solve_upper(
+            G, W, precision=_STATE_PRECISION)
     else:
         # XLA route (CPU meshes, f64 oracles): lower Cholesky of the
         # index-reversed matrix, then R^-1 = J Lgf^-1 J (flip both axes,
@@ -285,8 +343,8 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
         Lgfinv = lax.linalg.triangular_solve(Lgf, I, left_side=True,
                                              lower=True)
         Rinv = Lgfinv[..., ::-1, ::-1]
-    W_new = jnp.einsum('rmk,rnk->rmn', W, Rinv,
-                       precision=_STATE_PRECISION)         # W R^-T
+        W_new = jnp.einsum('rmk,rnk->rmn', W, Rinv,
+                           precision=_STATE_PRECISION)     # W R^-T
     # mu_new = mu - g W_new (W_new^T dmu): two matvecs, no S_new needed.
     t = jnp.einsum('rmn,rm->rn', W_new, dmu,
                    precision=_STATE_PRECISION)                # W_new^T dmu

@@ -35,6 +35,7 @@ def test_chol_inv_matches_numpy(M, panel):
     assert (np.triu(Linv, 1) == 0).all()
 
 
+@pytest.mark.slow
 def test_chol_inv_f32_accuracy():
     """f32 path (what the TPU actually runs): factor residual and inverse
     residual stay at f32 roundoff scale."""
@@ -49,6 +50,7 @@ def test_chol_inv_f32_accuracy():
                                atol=5e-5)
 
 
+@pytest.mark.slow
 def test_non_pd_input_yields_nonfinite():
     """NaN contract matches jnp.linalg.cholesky: callers' finite checks
     (NatGrad backoff) must keep firing."""
@@ -92,6 +94,7 @@ def test_upper_chol_inv_matches_flipped_lower(M, panel):
     assert (np.tril(Rinv, -1) == 0).all()
 
 
+@pytest.mark.slow
 def test_near_identity_inverse_precision():
     """The NatGrad G = I + O(gamma) case: inverse error ~roundoff."""
     rng = np.random.RandomState(3)
@@ -119,3 +122,31 @@ def test_tri_inv_doubling_matches_numpy(shape):
     ref = np.linalg.inv(L.reshape(-1, M, M)).reshape(*shape, M)
     np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
     assert (np.triu(got.reshape(-1, M, M)[0], 1) == 0).all()
+
+
+@pytest.mark.parametrize('M,panel', [(64, 64), (384, 64), (256, 128)])
+def test_chol_right_solve_upper_matches_inverse_route(M, panel):
+    """chol_right_solve_upper(A, X) == X @ chol_inv_batched_upper(A)[1]^T —
+    the NatGrad W_new path never materializes R^-1 (round-4 restructure);
+    block back-substitution on the product must agree with the explicit
+    inverse route to rounding."""
+    from deepcgp_tpu.ops import pallas_linalg
+
+    rng = np.random.RandomState(0)
+    B, N = 3, M
+    Q = rng.randn(B, M, M)
+    A = jnp.asarray(Q @ np.swapaxes(Q, 1, 2) + M * np.eye(M))
+    X = jnp.asarray(rng.randn(B, N, M))
+
+    _, Rinv = pallas_linalg.chol_inv_batched_upper(A, panel=panel,
+                                                   interpret=True)
+    want = jnp.einsum('bnk,bmk->bnm', X, Rinv)
+    got = pallas_linalg.chol_right_solve_upper(A, X, panel=panel,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-10, atol=1e-10)
+    # And against numpy directly: Y R^T = X.
+    Rnp = np.linalg.cholesky(np.asarray(A)[..., ::-1, ::-1])
+    R = np.swapaxes(Rnp, 1, 2)[..., ::-1, ::-1]
+    np.testing.assert_allclose(np.asarray(got) @ np.swapaxes(R, 1, 2),
+                               np.asarray(X), rtol=1e-8, atol=1e-8)
