@@ -66,6 +66,14 @@ class TrainConfig:
 
 
 def _adam_core():
+    # DEEPCGP_ADAM_MOMENT_DTYPE=bfloat16 stores the Adam moments in bf16
+    # (update math stays f32 — optim.scale_by_adam_storage): the m1024
+    # config's Adam+commit fusions are bandwidth-bound on the f32 moment
+    # stacks.  Default f32 pending the on-TPU precision gate + soak.
+    dt = os.environ.get('DEEPCGP_ADAM_MOMENT_DTYPE', 'float32')
+    if dt == 'bfloat16':
+        return optim.scale_by_adam_storage(jnp.bfloat16, b1=0.9, b2=0.999,
+                                           eps=1e-8)
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 

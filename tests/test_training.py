@@ -50,6 +50,7 @@ def test_gamma_schedule_matches_reference_formula():
     assert float(g) == 1.0
 
 
+@pytest.mark.slow
 def test_natgrad_f32_multistep_stability():
     """f32 NatGrad stability canary: several hundred steps on a learnable
     problem must keep the ELBO bounded and finite.  A numerically weaker
@@ -540,6 +541,7 @@ def _natgrad_probe_setup():
     return state, config, jnp.asarray(X.reshape(32, -1)), jnp.asarray(Y)
 
 
+@pytest.mark.slow
 def test_natgrad_bad_batch_not_committed_and_bumps_gamma():
     """A non-finite loss must not let either half of the NatGrad step commit,
     and must bump steps_back (reference catch/step_back_gamma/retry
@@ -599,3 +601,65 @@ def test_natgrad_deferred_rollback_restores_last_verified_params():
     assert any(np.any(g != 0) for g in
                [np.asarray(state.prev_model.layers[0].q_mu)])
     del good
+
+
+def test_adam_storage_matches_optax():
+    """scale_by_adam_storage(None) must reproduce optax.scale_by_adam
+    exactly (same recurrences + bias correction); the bf16-storage variant
+    must track it to within bf16 rounding of the moments."""
+    import optax
+
+    from deepcgp_tpu.training import optim
+
+    params = {'a': jnp.asarray(np.random.RandomState(0).randn(4, 3),
+                               jnp.float32)}
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    mine = optim.scale_by_adam_storage(None, b1=0.9, b2=0.999, eps=1e-8)
+    bf16 = optim.scale_by_adam_storage(jnp.bfloat16)
+
+    s_ref, s_mine, s_bf = (ref.init(params), mine.init(params),
+                           bf16.init(params))
+    rng = np.random.RandomState(1)
+    for step in range(5):
+        g = {'a': jnp.asarray(rng.randn(4, 3), jnp.float32)}
+        u_ref, s_ref = ref.update(g, s_ref)
+        u_mine, s_mine = mine.update(g, s_mine)
+        u_bf, s_bf = bf16.update(g, s_bf)
+        # optax computes its bias correction in a (weak-typed) higher
+        # precision under x64; the f32-native form differs by ~7e-6.
+        np.testing.assert_allclose(np.asarray(u_mine['a']),
+                                   np.asarray(u_ref['a']), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(u_bf['a']),
+                                   np.asarray(u_ref['a']), rtol=0.05,
+                                   atol=0.02)
+    assert s_bf.mu['a'].dtype == jnp.bfloat16
+    assert s_bf.nu['a'].dtype == jnp.bfloat16
+
+
+def test_adam_bf16_moments_trains(monkeypatch):
+    """run_chunk with DEEPCGP_ADAM_MOMENT_DTYPE=bfloat16 stays finite and
+    the ELBO moves (f32 model; the real gate runs on TPU)."""
+    monkeypatch.setenv('DEEPCGP_ADAM_MOMENT_DTYPE', 'bfloat16')
+    from deepcgp_tpu.models.builder import BuilderFlags, build_model
+    from deepcgp_tpu.training import trainer
+    from deepcgp_tpu.training.trainer import TrainConfig
+
+    rng = np.random.RandomState(0)
+    flags = BuilderFlags(M='8,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', num_samples=2, batch_size=8)
+    X = rng.randn(32, 12, 12, 1).astype(np.float32)
+    Y = rng.randint(0, 10, size=(32, 1))
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=1000,
+                         gamma=0.001, batch_size=8)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    leaf = jax.tree_util.tree_leaves(state.opt_state)[1]
+    assert leaf.dtype == jnp.bfloat16
+    Xd = jnp.asarray(X.reshape(32, -1))
+    Yd = jnp.asarray(Y)
+    state, e1 = trainer.run_chunk(state, config, Xd, Yd, 8)
+    state, e2 = trainer.run_chunk(state, config, Xd, Yd, 8)
+    assert np.isfinite(np.asarray(e1)).all()
+    assert np.isfinite(np.asarray(e2)).all()
+    assert float(np.mean(np.asarray(e2))) > float(np.mean(np.asarray(e1)))
