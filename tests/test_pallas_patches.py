@@ -64,6 +64,7 @@ def test_vjp_parity(H, W, C, f, s, d):
                                rtol=1e-11, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_kernel_consumers_order_invariant(monkeypatch):
     """ConvKernel / AdditivePatchKernel results are identical with the
     Pallas transposed-order extraction on vs off (weights permuted by
@@ -91,6 +92,7 @@ def test_kernel_consumers_order_invariant(monkeypatch):
                                        rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_last_layer_elbo_invariant(monkeypatch):
     """Full-model ELBO + grads agree with the Pallas extraction on vs off
     (the seam bench.py's flagship exercises on hardware)."""
