@@ -125,12 +125,18 @@ def _chol_inv_impl(K: jax.Array):
     if (K.dtype == jnp.float32 and M > 512 and M % 128 == 0
             and ((M // 128) & (M // 128 - 1)) == 0
             and tpu_like):
-        # Large M: XLA's blocked Cholesky base cases are fast at small
-        # batch, but its eye-TRSM for the inverse sweeps [128,128] panels
-        # SERIALLY (m1024: TRSM 138us + InvertDiagBlocks 81us/step).  Take
-        # the factor from XLA and build L^-1 by batched block doubling.
-        from deepcgp_tpu.ops import pallas_linalg
-        L = jnp.linalg.cholesky(K)
+        # Large M: XLA's eye-TRSM inverse sweeps [128,128] panels SERIALLY
+        # (m1024: TRSM 138us + InvertDiagBlocks 81us/step) — L^-1 comes
+        # from batched block doubling instead.  The FACTOR likewise: XLA's
+        # [1024,1024] chol custom call is a serial block-panel recurrence
+        # (~206us/step); the factor-only Pallas driver (near-free b=1 base
+        # cases + MXU panel einsums) replaces it.  DEEPCGP_PALLAS_BIGCHOL=0
+        # restores the XLA factor for A/B.
+        KB = K[None] if K.ndim == 2 else K.reshape((-1,) + K.shape[-2:])
+        if os.environ.get('DEEPCGP_PALLAS_BIGCHOL', '1') != '0':
+            L = pallas_linalg.chol_factor_batched(KB).reshape(K.shape)
+        else:
+            L = jnp.linalg.cholesky(K)
         return L, pallas_linalg.tri_inv_doubling(L)
     L = jnp.linalg.cholesky(K)
     eye = jnp.broadcast_to(jnp.eye(M, dtype=K.dtype), K.shape)

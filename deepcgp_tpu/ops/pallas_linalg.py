@@ -337,6 +337,49 @@ def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
     return L, Linv
 
 
+def chol_factor_batched(A: jax.Array, *, panel: int = 128,
+                        interpret: bool | None = None) -> jax.Array:
+    """Factor-ONLY blocked Cholesky: A [B, M, M] SPD -> L lower-triangular
+    with L L^T = A.  The factor phase of :func:`chol_inv_batched` without
+    the O(np^3/6) block inverse assembly — for callers that build the
+    inverse some other way (linalg._chol_inv_impl's M>512 route pairs this
+    with :func:`tri_inv_doubling`).
+
+    Why: XLA's [1024,1024] Cholesky custom call is a SERIAL block-panel
+    recurrence (~206us/step on the m1024 config, tools/roofline.py); here
+    the 8 P=128 base cases are near-free at batch 1 (the base kernel's
+    VPU instruction count scales with b*rows) and the panel solve /
+    trailing-downdate MXU einsums run at the bf16x6 matmul rate.
+    """
+    B, M, M2 = A.shape
+    P = min(panel, M)
+    assert M == M2 and M % P == 0, (B, M, M2, panel)
+    np_ = M // P
+    HI = lax.Precision.HIGHEST
+
+    if np_ == 1:
+        L, _ = chol_inv_base(A, interpret=interpret)
+        return L
+
+    Lb = {}
+    rem = A
+    for k in range(np_):
+        Lkk, Lkkinv = chol_inv_base(rem[:, :P, :P], interpret=interpret)
+        Lb[(k, k)] = Lkk
+        if k + 1 < np_:
+            A21 = rem[:, P:, :P]
+            L21 = jnp.einsum('brp,bqp->brq', A21, Lkkinv, precision=HI)
+            rem = rem[:, P:, P:] - jnp.einsum(
+                'brp,bsp->brs', L21, L21, precision=HI)
+            for i in range(k + 1, np_):
+                Lb[(i, k)] = L21[:, (i - k - 1) * P:(i - k) * P]
+
+    zero = jnp.zeros((B, P, P), A.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([Lb.get((i, j), zero) for j in range(np_)], axis=2)
+        for i in range(np_)], axis=1)
+
+
 def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
                            interpret: bool | None = None):
     """Upper-triangular mirror of :func:`chol_inv_batched`:

@@ -145,8 +145,25 @@ def test_chol_right_solve_upper_matches_inverse_route(M, panel):
                                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-10, atol=1e-10)
-    # And against numpy directly: Y R^T = X.
-    Rnp = np.linalg.cholesky(np.asarray(A)[..., ::-1, ::-1])
-    R = np.swapaxes(Rnp, 1, 2)[..., ::-1, ::-1]
+    # And against numpy directly: Y R^T = X, with the canonical upper
+    # factor R = P chol(P A P) P (P = index reversal; R R^T = A).
+    R = np.linalg.cholesky(np.asarray(A)[..., ::-1, ::-1])[..., ::-1, ::-1]
     np.testing.assert_allclose(np.asarray(got) @ np.swapaxes(R, 1, 2),
                                np.asarray(X), rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize('M,panel', [(128, 128), (512, 128), (1024, 128)])
+def test_chol_factor_batched_matches_numpy(M, panel):
+    """Factor-only blocked driver (the m1024 [1024,1024] chol replacement)
+    == numpy chol."""
+    from deepcgp_tpu.ops import pallas_linalg
+
+    rng = np.random.RandomState(1)
+    B = 2
+    Q = rng.randn(B, M, M)
+    A = jnp.asarray(Q @ np.swapaxes(Q, 1, 2) + M * np.eye(M))
+    L = pallas_linalg.chol_factor_batched(A, panel=panel, interpret=True)
+    np.testing.assert_allclose(np.asarray(L),
+                               np.linalg.cholesky(np.asarray(A)),
+                               rtol=1e-9, atol=1e-9)
+    assert (np.triu(np.asarray(L), 1) == 0).all()
