@@ -117,6 +117,14 @@ def multi_output_conditional(
             P, N, M = A.shape
             LTA = jnp.einsum('xm,rms->xrs', A.reshape(P * N, M),
                              L)                               # [P*N, R, M]
+            # Under a mesh, the R (GP/output) axis is the model-parallel
+            # axis of the [*, R, M]/[R, M, M] variational work — the
+            # M=1024 config's heavy stacks are all R-batched, while the
+            # [M, M] factorization itself is serial and stays replicated
+            # (SURVEY §2.10 M-sharding, pinned by dryrun_multichip).
+            # No-op without an active mesh or when R doesn't divide.
+            from deepcgp_tpu.parallel import sharding
+            LTA = sharding.constrain(LTA, None, 'model', None)
             qterm = jnp.sum(jnp.square(LTA), axis=-1)         # [P*N, R]
             fvar = fvar + jnp.transpose(
                 qterm.reshape(P, N, -1), (2, 0, 1))           # [R, P, N]

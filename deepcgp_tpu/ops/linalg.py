@@ -308,6 +308,11 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
     """
     M, R = q_mu.shape
     Lq = jnp.tril(q_sqrt)  # [R, M, M]
+    # R is the model-parallel axis of the variational stacks (see
+    # ops/conditional.py q_sqrt-term note): under a mesh the KL's syrk /
+    # logdet work shards over 'model' and GSPMD psums the scalar.
+    from deepcgp_tpu.parallel import sharding
+    Lq = sharding.constrain(Lq, 'model', None, None)
 
     if K is None and Lp is None and Lp_inv is None:
         alpha = q_mu  # K^-1 m = m

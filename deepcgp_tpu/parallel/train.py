@@ -172,8 +172,30 @@ def dryrun_multichip(n_devices: int, *, model_axis: int | None = None,
     probs = eval_fn(state.model, Xe, jax.random.PRNGKey(2))
     assert probs.shape == (16, 10)
     assert np.isfinite(np.asarray(probs)).all()
+
+    # M=1024-geometry config (single ConvKernel SVGP layer, scaled M):
+    # pins the SURVEY §2.10 "M-sharding" semantics — the [R, M, M]
+    # variational stacks (q_sqrt term, KL syrk/logdet) shard their R axis
+    # over 'model' via the in-op constraints (ops/conditional.py,
+    # ops/linalg.py::gauss_kl) while the serial [M, M] factorization
+    # stays replicated.  R=10 divides every power-of-two model axis <= 2;
+    # larger axes drop the constraint with the documented one-shot warning.
+    mflags = BuilderFlags(M='8', feature_maps='', filter_sizes='5',
+                          strides='1', num_samples=2,
+                          batch_size=2 * n_data, last_kernel='rbf')
+    mmodel = build_model(mflags, X, Y, jax.random.PRNGKey(3), dtype=dtype)
+    mconfig = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=1000,
+                          gamma=0.001, batch_size=mflags.batch_size)
+    mstate = trainer.init_state(mmodel, mconfig, jax.random.PRNGKey(4))
+    step_fn, _ = make_sharded_train_fns(mesh, mconfig)
+    mstate, melbo = step_fn(mstate, xb, yb)
+    assert np.isfinite(float(melbo)), \
+        f"multichip dryrun (m1024-geometry) non-finite ELBO: {melbo}"
+
     # One legible LAST line for the driver record (the compilation-cache
     # warnings above it are noise — VERDICT r2 weak #6).
     elbos = ', '.join(f'{k} elbo={v:.2f}' for k, v in elbo_by_opt.items())
     print(f"MULTICHIP DRYRUN OK: mesh data={n_data} x model={model_axis}, "
-          f"2 steps each of [{elbos}], sharded eval finite", flush=True)
+          f"2 steps each of [{elbos}], sharded eval finite, "
+          f"m1024-geometry R-sharded step elbo={float(melbo):.2f}",
+          flush=True)

@@ -37,6 +37,10 @@ def main():
     ap.add_argument('--optimizer', default='NatGrad')
     ap.add_argument('--steps', type=int, default=10000)
     ap.add_argument('--chunk', type=int, default=500)
+    ap.add_argument('--seed', type=int, default=0,
+                    help='init/train PRNG offset — vary to measure the '
+                         'seed-to-seed chaos envelope a precision gate '
+                         'compares against (data blobs stay fixed)')
     args = ap.parse_args()
 
     import jax
@@ -59,13 +63,14 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.time()
-    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+    model = build_model(flags, X, Y, jax.random.PRNGKey(100 * args.seed),
                         dtype=jnp.float32)
     print(f"model built in {time.time() - t0:.1f}s", flush=True)
     config = TrainConfig(optimizer=args.optimizer, lr=0.01,
                          lr_decay_steps=100000, gamma=0.001,
                          batch_size=flags.batch_size)
-    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    state = trainer.init_state(model, config,
+                               jax.random.PRNGKey(100 * args.seed + 1))
     Xd = jnp.asarray(X.reshape(X.shape[0], -1))
     Yd = jnp.asarray(Y)
 
