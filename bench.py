@@ -19,6 +19,7 @@ skip the secondary configs (quick local iteration).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -31,9 +32,20 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def _bench_config(tag, flags, optimizer, X, Y, steps=300):
+def _bench_config(tag, flags, optimizer, X, Y, steps=None):
     """Build + warm up + time one config; returns (steps/s, analytic MFU
-    diagnostics dict).  Emits breadcrumbs + the efficiency line on stderr."""
+    diagnostics dict).  Emits breadcrumbs + the efficiency line on stderr.
+
+    The timed chunk is LONG (default 2400 steps, ~2.5-4s of device time —
+    far under the ~60s remote-worker crash threshold) because each
+    run_chunk invocation pays a fixed ~28ms of remote-tunnel RPC latency
+    (measured: the same 1341us/step device trace yields 674 steps/s at
+    chunk=200 and 697 at chunk=300; the residual fits a constant per-call
+    overhead).  Real training amortizes identically — the experiment
+    driver scans test_every-sized chunks — so short-chunk numbers
+    UNDERSTATE device throughput.  DEEPCGP_BENCH_CHUNK overrides."""
+    if steps is None:
+        steps = int(os.environ.get('DEEPCGP_BENCH_CHUNK', 2400))
     import jax
     import jax.numpy as jnp
 
@@ -112,11 +124,11 @@ def _numerics_probe(flags, steps_per_chunk=300, chunks=2):
     """Short Adam run on LEARNABLE blobs (the soak config, tools/soak.py) —
     guards numerics, which the throughput configs cannot: their data is
     unlearnable noise (VERDICT r3 weak #4).  Returns (train_accuracy,
-    final_elbo).  Deliberately reuses the flagship flags, TrainConfig, and
-    chunk length so trainer.run_chunk's jit cache from the throughput
-    measurement is HIT (same shapes + statics) — the probe only pays the
-    eval compile.  Expected: accuracy >= 0.90 and ELBO improving after 600
-    steps (PARITY.md pins the measured values)."""
+    final_elbo).  Keeps its own 300-step chunks (one extra compile,
+    served by the persistent cache on reruns) so the documented numerics
+    expectations stay pinned while the throughput chunks grow.  Expected:
+    accuracy >= 0.90 and ELBO improving after 600 steps (PARITY.md pins
+    the measured values)."""
     import jax
     import jax.numpy as jnp
 
@@ -150,8 +162,6 @@ def _numerics_probe(flags, steps_per_chunk=300, chunks=2):
 
 
 def main():
-    import os
-
     import jax
 
     from deepcgp_tpu.models.builder import BuilderFlags
