@@ -93,7 +93,43 @@ def gamma_schedule(step, steps_back, gamma0: float):
 # ------------------------------------------------- Adam with bf16 moments
 
 
-def scale_by_adam_storage(storage_dtype=None, b1=0.9, b2=0.999, eps=1e-8):
+def _sr_to_bf16(x: jax.Array, salt: jax.Array) -> jax.Array:
+    """f32 -> bf16 by STOCHASTIC rounding, with the dither drawn from a
+    fused per-element murmur-style integer hash of (flat index, salt) —
+    no materialized random tensor, so the store adds zero HBM traffic on
+    top of the bf16 write it replaces.
+
+    Why SR: round-to-nearest bf16 moment storage FAILED the soak gate
+    (PARITY.md round-4) because Adam's second moment moves ~0.1% per step
+    ((1-b2)=1e-3) while bf16 ulp is ~0.8% — RTN freezes v.  SR is
+    unbiased (E[sr(x)] = x), so v performs an unbiased random walk around
+    the f32 trajectory instead of sticking.
+
+    Mechanics: add a uniform 16-bit dither to the f32 bit pattern, then
+    truncate the low 16 mantissa bits — for sign-magnitude floats this is
+    exact SR of the magnitude (carries propagate across exponent
+    boundaries correctly).  The masked f32 has an exactly-representable
+    bf16 value, so the final astype performs no second rounding.  Values
+    already exactly representable in bf16 (zero low bits) round to
+    themselves: the dither < 2^16 cannot carry.  Non-finite inputs stay
+    non-finite or become other non-finites — the trainer's commit guard
+    never stores them anyway."""
+    assert x.dtype == jnp.float32, x.dtype
+    u = lax.bitcast_convert_type(x, jnp.uint32)
+    n = x.size
+    idx = lax.iota(jnp.uint32, n).reshape(x.shape)
+    h = idx * jnp.uint32(2654435761) + salt.astype(jnp.uint32)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    u = (u + (h & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    return lax.bitcast_convert_type(u, jnp.float32).astype(jnp.bfloat16)
+
+
+def scale_by_adam_storage(storage_dtype=None, b1=0.9, b2=0.999, eps=1e-8,
+                          stochastic_round: bool = False):
     """optax.scale_by_adam with the moment STORAGE dtype decoupled from the
     update arithmetic (which stays in the parameter dtype, f32).
 
@@ -110,22 +146,45 @@ def scale_by_adam_storage(storage_dtype=None, b1=0.9, b2=0.999, eps=1e-8):
     With ``storage_dtype=None`` this is arithmetically identical to
     ``optax.scale_by_adam`` (pinned by
     test_training.py::test_adam_storage_matches_optax).
+
+    ``storage_dtype='auto'`` picks PER LEAF: bf16 with stochastic-rounding
+    stores for f32 leaves of >= 2^22 elements (the bandwidth-bound moment
+    stacks — m1024's [10,1024,1024] q_sqrt moments), parameter dtype for
+    everything else.  Small leaves gain nothing from halved traffic, so
+    they keep exact f32 moments and the flagship/CLI configs are
+    bit-identical to plain optax; the soak evidence for the SR leaves is
+    PARITY.md round-4 (all-SR m1024 soak ELBO -173.5 vs f32 -173.6/-179.0
+    across seeds — inside the envelope, where RTN bf16 landed 7.5x out).
     """
+    auto = storage_dtype == 'auto'
+
+    def _leaf_dtype(p):
+        if auto:
+            return (jnp.bfloat16 if p.dtype == jnp.float32
+                    and p.size >= (1 << 22) else p.dtype)
+        return storage_dtype or p.dtype
+
     def init(params):
         zeros = jax.tree_util.tree_map(
-            lambda p: jnp.zeros_like(
-                p, dtype=storage_dtype or p.dtype), params)
+            lambda p: jnp.zeros_like(p, dtype=_leaf_dtype(p)), params)
         zeros2 = jax.tree_util.tree_map(
-            lambda p: jnp.zeros_like(
-                p, dtype=storage_dtype or p.dtype), params)
+            lambda p: jnp.zeros_like(p, dtype=_leaf_dtype(p)), params)
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32), mu=zeros, nu=zeros2)
+
+    use_sr = auto or (bool(stochastic_round)
+                      and storage_dtype == jnp.bfloat16)
 
     def update(updates, state, params=None):
         del params
         count_inc = state.count + 1
         c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
         c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+        # Distinct dither stream per (step, leaf, moment): the salt feeds
+        # the avalanche hash in _sr_to_bf16, so consecutive steps see
+        # independent rounding directions per element.
+        salt0 = count_inc.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        leaf_no = [0]
 
         def one(g, m, v):
             mf = m.astype(g.dtype)
@@ -134,6 +193,13 @@ def scale_by_adam_storage(storage_dtype=None, b1=0.9, b2=0.999, eps=1e-8):
             vf = b2 * vf + (1.0 - b2) * jnp.square(g)
             u = (mf / c1.astype(g.dtype)) / (
                 jnp.sqrt(vf / c2.astype(g.dtype)) + eps)
+            if (use_sr and g.dtype == jnp.float32
+                    and m.dtype == jnp.bfloat16):
+                k = leaf_no[0]
+                leaf_no[0] += 1
+                s = salt0 + jnp.uint32((2 * k * 0x85EBCA77) & 0xFFFFFFFF)
+                return (u, _sr_to_bf16(mf, s),
+                        _sr_to_bf16(vf, s + jnp.uint32(0x85EBCA77)))
             return u, mf.astype(m.dtype), vf.astype(v.dtype)
 
         out = jax.tree_util.tree_map(one, updates, state.mu, state.nu)

@@ -70,10 +70,21 @@ def _adam_core():
     # (update math stays f32 — optim.scale_by_adam_storage): the m1024
     # config's Adam+commit fusions are bandwidth-bound on the f32 moment
     # stacks.  Default f32 pending the on-TPU precision gate + soak.
-    dt = os.environ.get('DEEPCGP_ADAM_MOMENT_DTYPE', 'float32')
-    if dt == 'bfloat16':
-        return optim.scale_by_adam_storage(jnp.bfloat16, b1=0.9, b2=0.999,
+    dt = os.environ.get('DEEPCGP_ADAM_MOMENT_DTYPE', 'auto')
+    if dt == 'auto':
+        # Per-leaf: bf16 STOCHASTIC-ROUNDING stores for >=2^22-element f32
+        # leaves (m1024's bandwidth-bound [10,1024,1024] moment stacks:
+        # -44us/step device, soak ELBO -173.5 vs f32 -173.6), exact f32
+        # for everything else (flagship/CLI states are bit-identical to
+        # optax).  Plain RTN bf16 FAILED the soak gate — it freezes the
+        # second moment (PARITY.md round-4); SR is unbiased per store.
+        return optim.scale_by_adam_storage('auto', b1=0.9, b2=0.999,
                                            eps=1e-8)
+    if dt in ('bfloat16', 'bfloat16_sr'):
+        return optim.scale_by_adam_storage(jnp.bfloat16, b1=0.9, b2=0.999,
+                                           eps=1e-8,
+                                           stochastic_round=dt.endswith(
+                                               '_sr'))
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 

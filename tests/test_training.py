@@ -663,3 +663,160 @@ def test_adam_bf16_moments_trains(monkeypatch):
     assert np.isfinite(np.asarray(e1)).all()
     assert np.isfinite(np.asarray(e2)).all()
     assert float(np.mean(np.asarray(e2))) > float(np.mean(np.asarray(e1)))
+
+
+def test_sr_to_bf16_exact_and_unbiased():
+    """optim._sr_to_bf16: values already representable in bf16 round to
+    themselves under every salt; values strictly between bf16 neighbours
+    land on one of the two neighbours with probabilities that average to
+    the input (unbiasedness is what fixes the RTN v-freeze — PARITY.md
+    round-4)."""
+    from deepcgp_tpu.training import optim
+
+    # Exactly-representable values (incl. negatives and zero).
+    x = jnp.asarray([0.0, 1.0, -2.5, 3.140625, -0.00390625], jnp.float32)
+    for salt in (0, 1, 123456789):
+        y = optim._sr_to_bf16(x, jnp.uint32(salt))
+        np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                      np.asarray(x))
+
+    # Strictly-interior values: mean over many salts ~ x, outputs are
+    # always one of the two bf16 neighbours.
+    rng = np.random.RandomState(0)
+    base = rng.randn(256).astype(np.float32)
+    lo = np.asarray(jnp.asarray(base, jnp.bfloat16), np.float32)
+    # Construct x strictly between lo and the next bf16 up.
+    hi = np.asarray(jnp.nextafter(jnp.asarray(lo, jnp.bfloat16),
+                                  jnp.asarray(np.inf, jnp.bfloat16)),
+                    np.float32)
+    frac = 0.25 + 0.5 * rng.rand(256).astype(np.float32)
+    x = (lo + frac * (hi - lo)).astype(np.float32)
+    acc = np.zeros_like(x, dtype=np.float64)
+    trials = 400
+    for salt in range(trials):
+        y = np.asarray(optim._sr_to_bf16(jnp.asarray(x),
+                                         jnp.uint32(salt * 2654435761
+                                                    & 0xFFFFFFFF)),
+                       np.float32)
+        assert np.all((y == lo) | (y == hi)), "SR must hit a neighbour"
+        acc += y
+    mean = (acc / trials).astype(np.float32)
+    # Unbiased to ~sqrt(p(1-p)/trials) of the ulp gap.
+    err = np.abs(mean - x) / (hi - lo)
+    assert float(err.mean()) < 0.05, float(err.mean())
+    assert float(err.max()) < 0.2, float(err.max())
+
+
+def test_adam_storage_sr_tracks_optax():
+    """The stochastic-rounding bf16 variant tracks optax within bf16
+    rounding (same envelope as RTN) and stores bf16 moments."""
+    import optax
+
+    from deepcgp_tpu.training import optim
+
+    params = {'a': jnp.asarray(np.random.RandomState(0).randn(4, 3),
+                               jnp.float32)}
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    sr = optim.scale_by_adam_storage(jnp.bfloat16, stochastic_round=True)
+    s_ref, s_sr = ref.init(params), sr.init(params)
+    rng = np.random.RandomState(1)
+    for step in range(5):
+        g = {'a': jnp.asarray(rng.randn(4, 3), jnp.float32)}
+        u_ref, s_ref = ref.update(g, s_ref)
+        u_sr, s_sr = sr.update(g, s_sr)
+        np.testing.assert_allclose(np.asarray(u_sr['a']),
+                                   np.asarray(u_ref['a']), rtol=0.05,
+                                   atol=0.02)
+    assert s_sr.mu['a'].dtype == jnp.bfloat16
+    assert s_sr.nu['a'].dtype == jnp.bfloat16
+
+
+def test_adam_bf16_sr_moments_trains(monkeypatch):
+    """run_chunk with DEEPCGP_ADAM_MOMENT_DTYPE=bfloat16_sr stays finite
+    and the ELBO improves (f32 model; the numerics gate runs on TPU)."""
+    monkeypatch.setenv('DEEPCGP_ADAM_MOMENT_DTYPE', 'bfloat16_sr')
+    from deepcgp_tpu.models.builder import BuilderFlags, build_model
+    from deepcgp_tpu.training import trainer
+    from deepcgp_tpu.training.trainer import TrainConfig
+
+    rng = np.random.RandomState(0)
+    flags = BuilderFlags(M='8,8', feature_maps='2', filter_sizes='5,3',
+                         strides='2,1', num_samples=2, batch_size=8)
+    X = rng.randn(32, 12, 12, 1).astype(np.float32)
+    Y = rng.randint(0, 10, size=(32, 1))
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=1000,
+                         gamma=0.001, batch_size=8)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    leaf = jax.tree_util.tree_leaves(state.opt_state)[1]
+    assert leaf.dtype == jnp.bfloat16
+    Xd = jnp.asarray(X.reshape(32, -1))
+    Yd = jnp.asarray(Y)
+    state, e1 = trainer.run_chunk(state, config, Xd, Yd, 8)
+    state, e2 = trainer.run_chunk(state, config, Xd, Yd, 8)
+    assert np.isfinite(np.asarray(e1)).all()
+    assert np.isfinite(np.asarray(e2)).all()
+    assert float(np.mean(np.asarray(e2))) > float(np.mean(np.asarray(e1)))
+
+
+def test_adam_storage_auto_per_leaf():
+    """'auto' picks bf16-SR storage only for >=2^22-element f32 leaves;
+    small leaves keep exact f32 moments (bit-identical to optax)."""
+    import optax
+
+    from deepcgp_tpu.training import optim
+
+    big = jnp.zeros((1 << 22,), jnp.float32)
+    small = jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32)
+    params = {'big': big, 'small': small}
+    auto = optim.scale_by_adam_storage('auto')
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    s_auto, s_ref = auto.init(params), ref.init(params)
+    assert s_auto.mu['big'].dtype == jnp.bfloat16
+    assert s_auto.nu['big'].dtype == jnp.bfloat16
+    assert s_auto.mu['small'].dtype == jnp.float32
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        g = {'big': jnp.zeros((1 << 22,), jnp.float32),
+             'small': jnp.asarray(rng.randn(4, 3), jnp.float32)}
+        u_auto, s_auto = auto.update(g, s_auto)
+        u_ref, s_ref = ref.update(g, s_ref)
+        # Small leaves: EXACT f32 arithmetic ==> tracks optax to fp noise.
+        np.testing.assert_allclose(np.asarray(u_auto['small']),
+                                   np.asarray(u_ref['small']), rtol=2e-5)
+        np.testing.assert_array_equal(np.asarray(s_auto.mu['small']),
+                                      np.asarray(s_ref.mu['small']))
+
+
+def test_resume_across_moment_dtype_change(tmp_path, monkeypatch):
+    """A checkpoint written with f32 moments must restore under the 'auto'
+    default (and vice versa): the moment STORAGE dtype is an
+    implementation detail, not part of the training state contract."""
+    from deepcgp_tpu.models.builder import BuilderFlags, build_model
+    from deepcgp_tpu.training import trainer
+    from deepcgp_tpu.training.trainer import TrainConfig
+    from deepcgp_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.RandomState(0)
+    flags = BuilderFlags(M='8', feature_maps='', filter_sizes='3',
+                         strides='1', num_samples=2, batch_size=8,
+                         last_kernel='rbf')
+    X = rng.randn(32, 8, 8, 1).astype(np.float32)
+    Y = rng.randint(0, 10, size=(32, 1))
+    config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=1000,
+                         gamma=0.001, batch_size=8)
+
+    monkeypatch.setenv('DEEPCGP_ADAM_MOMENT_DTYPE', 'float32')
+    model = build_model(flags, X, Y, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    ckpt.save_train_state(str(tmp_path), state)
+
+    monkeypatch.setenv('DEEPCGP_ADAM_MOMENT_DTYPE', 'auto')
+    template = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    restored = ckpt.restore_train_state(str(tmp_path), template)
+    lt, lr_ = (jax.tree_util.tree_leaves(template.opt_state),
+               jax.tree_util.tree_leaves(restored.opt_state))
+    for t, r in zip(lt, lr_):
+        assert t.dtype == r.dtype, (t.dtype, r.dtype)
