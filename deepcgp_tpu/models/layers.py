@@ -20,6 +20,7 @@ Layers are flax.struct pytrees.  Each exposes:
 from __future__ import annotations
 
 import functools
+import os
 import typing
 
 import jax
@@ -383,7 +384,16 @@ class SVGPLayer:
             # Recomputing patches (static slices) + the distance matmuls in
             # the backward is cheaper than the copies + HBM round-trip of
             # ~29MB/step of residuals; only (ND_X, Z, hyperparams) is saved.
-            Kuf, Knn = jax.checkpoint(_svgp_kuf_kdiag)(
+            # DEEPCGP_REMAT_NO_CSE_BARRIER=1 drops the optimization-
+            # barrier custom-calls the checkpoint inserts (~25us/step of
+            # marker ops in the NatGrad trace) — at the risk of XLA CSE
+            # merging the recomputation back with the forward and
+            # resurrecting the residual copies this remat exists to kill.
+            # A/B by trace only; default keeps the barrier.
+            prevent_cse = os.environ.get(
+                'DEEPCGP_REMAT_NO_CSE_BARRIER', '0') != '1'
+            Kuf, Knn = jax.checkpoint(_svgp_kuf_kdiag,
+                                      prevent_cse=prevent_cse)(
                 self.kernel, self.Z, ND_X)
             Kuf, Knn = Kuf[None], Knn[None]              # [1, N, M], [1, N]
         mean, var = multi_output_conditional(
