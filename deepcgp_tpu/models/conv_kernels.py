@@ -229,8 +229,19 @@ class AdditivePatchKernel:
                 or not conv_cross.supports(self.base_kernel, self.view)):
             patches = self._patches(ND_X)
         NPM = self._patch_kernel_NPM(ND_X, Z, patches=patches)
-        w = self._weights() / self.patch_weights.shape[0]
+        # The weight vector must match the NPM producer's patch order: the
+        # conv_cross form emits row-major (TF) patch positions, while
+        # _patches may be in Pallas-extraction order (see _weights).
+        w = self._npm_weights(via_conv_cross=patches is None)
         return jnp.einsum('npm,p->nm', NPM, w), self.Kdiag(ND_X, patches)
+
+    def _npm_weights(self, *, via_conv_cross: bool) -> jax.Array:
+        """patch_weights/P in the patch order of :meth:`_patch_kernel_NPM`'s
+        output: conv_cross (ops/conv_cross.py:78) enumerates patches
+        row-major regardless of the extraction backend, so the Pallas
+        permutation of :meth:`_weights` must NOT apply there."""
+        w = (self.patch_weights if via_conv_cross else self._weights())
+        return w / self.patch_weights.shape[0]
 
     def _patch_kernel_NPM(self, ND_X: jax.Array, Z: jax.Array,
                           patches: jax.Array | None = None) -> jax.Array:
@@ -258,8 +269,10 @@ class AdditivePatchKernel:
         """[N, M] = mean_p w_p k(x[p], Z) — M-minor orientation (matches the
         conditional's pnm layout; avoids retiling the [M, N*P] base-kernel
         matrix, which profiled as the dominant copy at M=1024)."""
+        from deepcgp_tpu.ops import conv_cross
         NPM = self._patch_kernel_NPM(ND_X, Z)                    # [N, P, M]
-        w = self._weights() / self.patch_weights.shape[0]
+        w = self._npm_weights(via_conv_cross=conv_cross.supports(
+            self.base_kernel, self.view))
         return jnp.einsum('npm,p->nm', NPM, w)
 
     def Kzx(self, Z: jax.Array, ND_X: jax.Array) -> jax.Array:

@@ -122,9 +122,16 @@ def multi_output_conditional(
             # M=1024 config's heavy stacks are all R-batched, while the
             # [M, M] factorization itself is serial and stays replicated
             # (SURVEY §2.10 M-sharding, pinned by dryrun_multichip).
-            # No-op without an active mesh or when R doesn't divide.
-            from deepcgp_tpu.parallel import sharding
-            LTA = sharding.constrain(LTA, None, 'model', None)
+            # Constrain ONLY the SVGP case (P == 1), where dim 0 is
+            # unambiguously the data-sharded batch: a None spec entry is
+            # a hard replicate pin, so constraining here with P > 1
+            # (dim 0 = flattened P*N, P 'model'-sharded in-layer) would
+            # force an all-gather of A over 'data' and duplicate the
+            # dominant q-term matmul on every chip.  ConvLayer LTA is
+            # left to GSPMD propagation from the in-layer constraints.
+            if P == 1:
+                from deepcgp_tpu.parallel import sharding
+                LTA = sharding.constrain(LTA, 'data', 'model', None)
             qterm = jnp.sum(jnp.square(LTA), axis=-1)         # [P*N, R]
             fvar = fvar + jnp.transpose(
                 qterm.reshape(P, N, -1), (2, 0, 1))           # [R, P, N]

@@ -103,9 +103,21 @@ def _extract_kernel(img_ref, out_ref, *, f, stride, dilation, Hout, Wout, C):
                              lane0 + dx * dilation * C + C])
 
 
-def _pick_block(N: int) -> int:
-    """Largest divisor of N that is <= _BLOCK_N (grid blocks must tile N)."""
-    for b in range(min(N, _BLOCK_N), 0, -1):
+# VMEM budget for one grid step's blocks (img + patches, x2 for Mosaic's
+# double buffering), conservatively below the 16MB scoped stack.
+_VMEM_BUDGET = 12 << 20
+
+
+def _vmem_max_block(HWC: int, PL: int, itemsize: int = 4) -> int:
+    """Largest batch-block b with b*(HWC + PL)*itemsize*2 <= budget."""
+    return max(_VMEM_BUDGET // (2 * itemsize * (HWC + PL)), 0)
+
+
+def _pick_block(N: int, HWC: int, PL: int) -> int:
+    """Largest divisor of N that is <= _BLOCK_N AND fits the VMEM budget
+    (grid blocks must tile N)."""
+    cap = min(N, _BLOCK_N, _vmem_max_block(HWC, PL))
+    for b in range(max(cap, 1), 0, -1):
         if N % b == 0:
             return b
     return 1
@@ -118,7 +130,7 @@ def _pallas_extract(NHWC_X: jax.Array, filter_size: int, stride: int,
     Wout = out_size(W, filter_size, stride, dilation)
     P, L = Hout * Wout, filter_size * filter_size * C
     img = NHWC_X.reshape(N, H, W * C)     # layout-free (W, C adjacent minor)
-    b = _pick_block(N)
+    b = _pick_block(N, H * W * C, P * L)
     kern = functools.partial(_extract_kernel, f=filter_size, stride=stride,
                              dilation=dilation, Hout=Hout, Wout=Wout, C=C)
     out = pl.pallas_call(
@@ -201,7 +213,7 @@ def _pallas_col2im(g: jax.Array, img_shape, filter_size: int, stride: int,
     Hout = out_size(H, filter_size, stride, dilation)
     Wout = out_size(W, filter_size, stride, dilation)
     P, L = Hout * Wout, filter_size * filter_size * C
-    b = _pick_block(N)
+    b = _pick_block(N, H * W * C, P * L)
     kern = functools.partial(_col2im_kernel, f=filter_size, stride=stride,
                              dilation=dilation, Hout=Hout, Wout=Wout, C=C)
     out = pl.pallas_call(
@@ -251,4 +263,9 @@ def supports(view) -> bool:
     if not isinstance(view, FullView):
         return False
     H, W = view.input_size
-    return H * W * view.feature_maps <= 1 << 16
+    # Admit a geometry only when at least a b=1 grid block (image row +
+    # patch row, x2 double buffering) fits the VMEM budget — gating on the
+    # raw image size alone admitted shapes whose [b, P, L] out block blew
+    # the scoped stack and died in Mosaic instead of falling back.
+    return _vmem_max_block(H * W * view.feature_maps,
+                           view.patch_count * view.patch_length) >= 1

@@ -66,6 +66,10 @@ def main(argv=None):
         return 2
 
     from deepcgp_tpu.mnist import MNIST, read_args
+    if args.fast and args.m1024:
+        print("ERROR: --fast runs the M=64 N=10000 smoke config only; "
+              "drop one of --fast / --m1024.", file=sys.stderr)
+        return 2
     if args.fast:
         threshold = args.threshold if args.threshold is not None else 0.95
         flags = read_args([
@@ -101,6 +105,8 @@ def main(argv=None):
     acc = experiment.test_accuracy()
     status = 'PASS' if acc >= threshold else 'FAIL'
     ref = 0.9865 if args.m1024 else 0.9769
+    if args.fast:
+        ref = 0.9769  # smoke config is the M=64 family
     print(f"mnist-parity: final test_accuracy={acc:.4f} "
           f"threshold={threshold:.4f} "
           f"(reference artifact {ref}) -> {status}")

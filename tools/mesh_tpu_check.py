@@ -81,7 +81,8 @@ def main():
           f"elbo traces {'match' if same else 'DIFFER'} "
           f"(first {elbos_ref[0]:.2f} vs {elbos_mesh[0]:.2f}, "
           f"last {elbos_ref[-1]:.2f} vs {elbos_mesh[-1]:.2f})", flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == '__main__':
-    main()
+    sys.exit(main())
