@@ -275,6 +275,65 @@ def chol_inv_base_upper(D: jax.Array, *, interpret: bool | None = None):
     return _base_call(_chol_inv_base_kernel_upper, D, interpret=interpret)
 
 
+def _assemble_blocks(blocks: dict, np_: int, B: int, P: int, dtype):
+    """dict {(i, j): [B, P, P]} -> dense [B, np*P, np*P]; missing blocks are
+    structural zeros.  The dict-of-blocks + concat assembly is the fast
+    form: zero-init [B, M, M] arrays with .at[].set lower as non-fused
+    full-buffer dynamic-update-slice copies (CLAUDE.md dead end)."""
+    zero = jnp.zeros((B, P, P), dtype)
+    return jnp.concatenate([
+        jnp.concatenate([blocks.get((i, j), zero) for j in range(np_)],
+                        axis=2)
+        for i in range(np_)], axis=1)
+
+
+def _factor_blocks_lower(A: jax.Array, P: int, np_: int,
+                         interpret: bool | None):
+    """Shared right-looking factor phase: A [B, M, M] SPD ->
+    (Lb {(i,k): block of L, i >= k}, Dinv {k: inverse of diag block k}).
+    Panel solve L21 = A21 Lkk^-T and trailing downdate are batched MXU
+    matmuls (these parallelize over B; only the custom-call factorizations
+    don't)."""
+    HI = lax.Precision.HIGHEST
+    Lb, Dinv = {}, {}
+    rem = A
+    for k in range(np_):
+        Lkk, Lkkinv = chol_inv_base(rem[:, :P, :P], interpret=interpret)
+        Lb[(k, k)] = Lkk
+        Dinv[k] = Lkkinv
+        if k + 1 < np_:
+            A21 = rem[:, P:, :P]                             # [B, m, P]
+            L21 = jnp.einsum('brp,bqp->brq', A21, Lkkinv, precision=HI)
+            rem = rem[:, P:, P:] - jnp.einsum(
+                'brp,bsp->brs', L21, L21, precision=HI)
+            for i in range(k + 1, np_):
+                Lb[(i, k)] = L21[:, (i - k - 1) * P:(i - k) * P]
+    return Lb, Dinv
+
+
+def _factor_blocks_upper(A: jax.Array, P: int, np_: int,
+                         interpret: bool | None):
+    """Upper mirror of :func:`_factor_blocks_lower`: the recurrence starts
+    at the bottom-right corner, so R (upper, R R^T = A) comes out with
+    zero index-reverse ops.  Returns (Rb {(i,k): block, i <= k}, Dinv)."""
+    HI = lax.Precision.HIGHEST
+    Rb, Dinv = {}, {}
+    rem = A
+    for k in range(np_ - 1, 0, -1):
+        Rkk, Rkkinv = chol_inv_base_upper(rem[:, -P:, -P:],
+                                          interpret=interpret)
+        Rb[(k, k)] = Rkk
+        Dinv[k] = Rkkinv
+        A12 = rem[:, :-P, -P:]                               # [B, kP, P]
+        R12 = jnp.einsum('brp,bqp->brq', A12, Rkkinv, precision=HI)
+        rem = rem[:, :-P, :-P] - jnp.einsum(
+            'brp,bsp->brs', R12, R12, precision=HI)
+        for i in range(k):
+            Rb[(i, k)] = R12[:, i * P:(i + 1) * P]
+    Rb[(0, 0)], Dinv[0] = chol_inv_base_upper(rem, interpret=interpret)
+    return Rb, Dinv
+
+
 def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
                      interpret: bool | None = None):
     """Blocked right-looking Cholesky of a batch of SPD matrices, plus the
@@ -293,26 +352,8 @@ def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
 
     if np_ == 1:
         return chol_inv_base(A, interpret=interpret)
-    PANEL_ = P
 
-    Lb = {}      # (i, k) -> [B, P, P] block of L, i >= k
-    Dinv = {}    # k -> inverse of diagonal block k
-    rem = A
-    for k in range(np_):
-        Lkk, Lkkinv = chol_inv_base(rem[:, :PANEL_, :PANEL_],
-                                    interpret=interpret)
-        Lb[(k, k)] = Lkk
-        Dinv[k] = Lkkinv
-        if k + 1 < np_:
-            A21 = rem[:, PANEL_:, :PANEL_]                   # [B, m, P]
-            # Panel solve L21 = A21 Lkk^-T and trailing downdate — batched
-            # MXU matmuls (these parallelize over B; only the custom-call
-            # factorizations don't).
-            L21 = jnp.einsum('brp,bqp->brq', A21, Lkkinv, precision=HI)
-            rem = rem[:, PANEL_:, PANEL_:] - jnp.einsum(
-                'brp,bsp->brs', L21, L21, precision=HI)
-            for i in range(k + 1, np_):
-                Lb[(i, k)] = L21[:, (i - k - 1) * PANEL_:(i - k) * PANEL_]
+    Lb, Dinv = _factor_blocks_lower(A, P, np_, interpret)
 
     # Block forward substitution for the full inverse:
     #   X[k][k] = Dinv_k;  X[i][c] = -Dinv_i sum_{c<=l<i} L[i][l] X[l][c].
@@ -327,14 +368,8 @@ def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
             Xb[(i, c)] = -jnp.einsum('bij,bjk->bik', Dinv[i], acc,
                                      precision=HI)
 
-    zero = jnp.zeros((B, PANEL_, PANEL_), A.dtype)
-    L = jnp.concatenate([
-        jnp.concatenate([Lb.get((i, j), zero) for j in range(np_)], axis=2)
-        for i in range(np_)], axis=1)
-    Linv = jnp.concatenate([
-        jnp.concatenate([Xb.get((i, j), zero) for j in range(np_)], axis=2)
-        for i in range(np_)], axis=1)
-    return L, Linv
+    return (_assemble_blocks(Lb, np_, B, P, A.dtype),
+            _assemble_blocks(Xb, np_, B, P, A.dtype))
 
 
 def chol_factor_batched(A: jax.Array, *, panel: int = 128,
@@ -355,29 +390,13 @@ def chol_factor_batched(A: jax.Array, *, panel: int = 128,
     P = min(panel, M)
     assert M == M2 and M % P == 0, (B, M, M2, panel)
     np_ = M // P
-    HI = lax.Precision.HIGHEST
 
     if np_ == 1:
         L, _ = chol_inv_base(A, interpret=interpret)
         return L
 
-    Lb = {}
-    rem = A
-    for k in range(np_):
-        Lkk, Lkkinv = chol_inv_base(rem[:, :P, :P], interpret=interpret)
-        Lb[(k, k)] = Lkk
-        if k + 1 < np_:
-            A21 = rem[:, P:, :P]
-            L21 = jnp.einsum('brp,bqp->brq', A21, Lkkinv, precision=HI)
-            rem = rem[:, P:, P:] - jnp.einsum(
-                'brp,bsp->brs', L21, L21, precision=HI)
-            for i in range(k + 1, np_):
-                Lb[(i, k)] = L21[:, (i - k - 1) * P:(i - k) * P]
-
-    zero = jnp.zeros((B, P, P), A.dtype)
-    return jnp.concatenate([
-        jnp.concatenate([Lb.get((i, j), zero) for j in range(np_)], axis=2)
-        for i in range(np_)], axis=1)
+    Lb, _ = _factor_blocks_lower(A, P, np_, interpret)
+    return _assemble_blocks(Lb, np_, B, P, A.dtype)
 
 
 def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
@@ -403,23 +422,8 @@ def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
 
     if np_ == 1:
         return chol_inv_base_upper(A, interpret=interpret)
-    PANEL_ = P
 
-    Rb = {}      # (i, k) -> [B, P, P] block of R, i <= k
-    Dinv = {}    # k -> inverse of diagonal block k
-    rem = A
-    for k in range(np_ - 1, 0, -1):
-        Rkk, Rkkinv = chol_inv_base_upper(rem[:, -PANEL_:, -PANEL_:],
-                                          interpret=interpret)
-        Rb[(k, k)] = Rkk
-        Dinv[k] = Rkkinv
-        A12 = rem[:, :-PANEL_, -PANEL_:]                 # [B, kP, P]
-        R12 = jnp.einsum('brp,bqp->brq', A12, Rkkinv, precision=HI)
-        rem = rem[:, :-PANEL_, :-PANEL_] - jnp.einsum(
-            'brp,bsp->brs', R12, R12, precision=HI)
-        for i in range(k):
-            Rb[(i, k)] = R12[:, i * PANEL_:(i + 1) * PANEL_]
-    Rb[(0, 0)], Dinv[0] = chol_inv_base_upper(rem, interpret=interpret)
+    Rb, Dinv = _factor_blocks_upper(A, P, np_, interpret)
 
     Xb = {}
     for c in range(np_):
@@ -432,14 +436,8 @@ def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
             Xb[(i, c)] = -jnp.einsum('bij,bjk->bik', Dinv[i], acc,
                                      precision=HI)
 
-    zero = jnp.zeros((B, PANEL_, PANEL_), A.dtype)
-    R = jnp.concatenate([
-        jnp.concatenate([Rb.get((i, j), zero) for j in range(np_)], axis=2)
-        for i in range(np_)], axis=1)
-    Rinv = jnp.concatenate([
-        jnp.concatenate([Xb.get((i, j), zero) for j in range(np_)], axis=2)
-        for i in range(np_)], axis=1)
-    return R, Rinv
+    return (_assemble_blocks(Rb, np_, B, P, A.dtype),
+            _assemble_blocks(Xb, np_, B, P, A.dtype))
 
 
 def chol_right_solve_upper(A: jax.Array, X: jax.Array, *,
@@ -476,21 +474,9 @@ def chol_right_solve_upper(A: jax.Array, X: jax.Array, *,
         _, Dinv0 = chol_inv_base_upper(A, interpret=interpret)
         return jnp.einsum('bnp,bqp->bnq', X, Dinv0, precision=precision)
 
-    HI = lax.Precision.HIGHEST
-    Rb = {}
-    Dinv = {}
-    rem = A
-    for k in range(np_ - 1, 0, -1):
-        Rkk, Rkkinv = chol_inv_base_upper(rem[:, -P:, -P:],
-                                          interpret=interpret)
-        Dinv[k] = Rkkinv
-        A12 = rem[:, :-P, -P:]
-        R12 = jnp.einsum('brp,bqp->brq', A12, Rkkinv, precision=HI)
-        rem = rem[:, :-P, :-P] - jnp.einsum(
-            'brp,bsp->brs', R12, R12, precision=HI)
-        for i in range(k):
-            Rb[(i, k)] = R12[:, i * P:(i + 1) * P]
-    _, Dinv[0] = chol_inv_base_upper(rem, interpret=interpret)
+    # Shared factor phase; the diagonal Rkk blocks it stores are unused
+    # here (back-substitution needs only the off-diagonals and Dinv).
+    Rb, Dinv = _factor_blocks_upper(A, P, np_, interpret)
 
     Yb = {}
     for k in range(np_ - 1, -1, -1):
