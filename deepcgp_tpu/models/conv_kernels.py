@@ -15,6 +15,8 @@ evaluation — one big MXU matmul instead of P small ones.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -164,9 +166,23 @@ class AdditivePatchKernel:
         if self._pallas_order():
             from deepcgp_tpu.ops.pallas_patches import \
                 extract_patches_transposed
+            # DEEPCGP_BF16_PATCHES=1: emit the im2col tensor bf16 (halves
+            # its HBM footprint — [320,36,250] flagship / [1280,576,25]
+            # m1024).  Scalar-RBF only: its Kdiag never reads patches and
+            # the cross matmuls run DEFAULT precision, whose MXU operands
+            # round to bf16 anyway; norms upcast in their epilogues
+            # (ops/distances.py), and the ConvKernel gram path restores
+            # f32 before its HIGHEST self-gram.
+            out_dtype = None
+            from deepcgp_tpu.models.base_kernels import RBF
+            if (os.environ.get('DEEPCGP_BF16_PATCHES', '0') == '1'
+                    and isinstance(self.base_kernel, RBF)
+                    and jnp.ndim(self.base_kernel.raw_lengthscales) == 0
+                    and NHWC.dtype == jnp.float32):
+                out_dtype = jnp.bfloat16
             return extract_patches_transposed(
                 NHWC, self.view.filter_size, self.view.stride,
-                self.view.dilation)
+                self.view.dilation, out_dtype)
         if self._native_order():
             return self.view.extract_patches_NPL_native(NHWC)
         return self.view.extract_patches_NPL(NHWC)

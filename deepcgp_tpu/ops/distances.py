@@ -27,13 +27,20 @@ def square_distance(X: jax.Array, X2: jax.Array | None = None) -> jax.Array:
     free).  Cross-covariances keep the fast default: they never get
     factorized, and they are where the step's FLOPs live.
     """
-    Xs = jnp.sum(jnp.square(X), axis=-1)
+    # bf16 inputs (DEEPCGP_BF16_PATCHES im2col): the cross matmul's MXU
+    # operands round to bf16 at DEFAULT precision anyway, but the NORM
+    # epilogues and any HIGHEST self-gram must accumulate/multiply in f32
+    # — upcast (fuses into the reduce/matmul prologue, no materialized
+    # f32 copy of the tensor).
+    Xf = X.astype(jnp.float32) if X.dtype == jnp.bfloat16 else X
+    Xs = jnp.sum(jnp.square(Xf), axis=-1)
     if X2 is None:
         from deepcgp_tpu.ops.linalg import gram_syrk
-        cross = gram_syrk(X)    # HIGHEST fwd; one-matmul HIGH bwd
+        cross = gram_syrk(Xf)   # HIGHEST fwd; one-matmul HIGH bwd
         X2s = Xs
     else:
-        cross = jnp.matmul(X, jnp.swapaxes(X2, -1, -2))
-        X2s = jnp.sum(jnp.square(X2), axis=-1)
+        X2f = X2.astype(jnp.float32) if X2.dtype == jnp.bfloat16 else X2
+        cross = jnp.matmul(Xf, jnp.swapaxes(X2f, -1, -2))
+        X2s = jnp.sum(jnp.square(X2f), axis=-1)
     d2 = Xs[..., :, None] - 2.0 * cross + X2s[..., None, :]
     return jnp.maximum(d2, 0.0)

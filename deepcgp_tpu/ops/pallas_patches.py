@@ -93,14 +93,16 @@ def _extract_kernel(img_ref, out_ref, *, f, stride, dilation, Hout, Wout, C):
                 # Filter columns are lane-contiguous: one [b, Hout, f*C]
                 # window per (dy, ox).
                 out_ref[:, ox * Hout:(ox + 1) * Hout,
-                        dy * fC:(dy + 1) * fC] = rows[:, :, lane0:lane0 + fC]
+                        dy * fC:(dy + 1) * fC] = (
+                    rows[:, :, lane0:lane0 + fC].astype(out_ref.dtype))
             else:
                 # x-dilation spaces the filter columns by dilation*C lanes.
                 for dx in range(f):
                     out_ref[:, ox * Hout:(ox + 1) * Hout,
                             (dy * f + dx) * C:(dy * f + dx + 1) * C] = (
                         rows[:, :, lane0 + dx * dilation * C:
-                             lane0 + dx * dilation * C + C])
+                             lane0 + dx * dilation * C + C]
+                        .astype(out_ref.dtype))
 
 
 # VMEM budget for one grid step's blocks (img + patches, x2 for Mosaic's
@@ -124,7 +126,8 @@ def _pick_block(N: int, HWC: int, PL: int) -> int:
 
 
 def _pallas_extract(NHWC_X: jax.Array, filter_size: int, stride: int,
-                    dilation: int, *, interpret: bool) -> jax.Array:
+                    dilation: int, *, interpret: bool,
+                    out_dtype=None) -> jax.Array:
     N, H, W, C = NHWC_X.shape
     Hout = out_size(H, filter_size, stride, dilation)
     Wout = out_size(W, filter_size, stride, dilation)
@@ -138,7 +141,8 @@ def _pallas_extract(NHWC_X: jax.Array, filter_size: int, stride: int,
         grid=(N // b,),
         in_specs=[pl.BlockSpec((b, H, W * C), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((b, P, L), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, P, L), NHWC_X.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, P, L),
+                                       out_dtype or NHWC_X.dtype),
         interpret=interpret,
     )(img)
     return out
@@ -157,14 +161,22 @@ def _ref_transposed(NHWC_X: jax.Array, filter_size: int, stride: int,
         N, Hout * Wout, -1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def extract_patches_transposed(NHWC_X: jax.Array, filter_size: int,
-                               stride: int = 1,
-                               dilation: int = 1) -> jax.Array:
+                               stride: int = 1, dilation: int = 1,
+                               out_dtype=None) -> jax.Array:
     """[N, H, W, C] -> [N, P, L] in transposed patch order, L-minor, via one
-    Pallas pass (interpret mode off-TPU so CPU tests cover the kernel)."""
+    Pallas pass (interpret mode off-TPU so CPU tests cover the kernel).
+
+    ``out_dtype=jnp.bfloat16`` makes the kernel EMIT bf16 patches (cast at
+    the store, halving the tensor's HBM footprint); DEFAULT-precision MXU
+    consumers round their operands to bf16 anyway, so the cross-covariance
+    products see the same values — only f32 epilogues (norms) change, at
+    one rounding of normalized image data.  The backward keeps an f32
+    col2im accumulation regardless (bf16 cotangents upcast in VMEM)."""
     return _pallas_extract(NHWC_X, filter_size, stride, dilation,
-                           interpret=jax.default_backend() != 'tpu')
+                           interpret=jax.default_backend() != 'tpu',
+                           out_dtype=out_dtype)
 
 
 def _col2im_kernel(g_ref, out_ref, acc_ref, *, f, stride, dilation, Hout,
@@ -208,7 +220,8 @@ def _col2im_kernel(g_ref, out_ref, acc_ref, *, f, stride, dilation, Hout,
 
 
 def _pallas_col2im(g: jax.Array, img_shape, filter_size: int, stride: int,
-                   dilation: int, *, interpret: bool) -> jax.Array:
+                   dilation: int, *, interpret: bool,
+                   out_dtype=None) -> jax.Array:
     N, H, W, C = img_shape
     Hout = out_size(H, filter_size, stride, dilation)
     Wout = out_size(W, filter_size, stride, dilation)
@@ -221,27 +234,29 @@ def _pallas_col2im(g: jax.Array, img_shape, filter_size: int, stride: int,
         grid=(N // b,),
         in_specs=[pl.BlockSpec((b, P, L), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((b, H, W * C), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, H, W * C), g.dtype),
-        scratch_shapes=[pltpu.VMEM((b, H, W * C), g.dtype)],
+        out_shape=jax.ShapeDtypeStruct((N, H, W * C), out_dtype or g.dtype),
+        scratch_shapes=[pltpu.VMEM((b, H, W * C), out_dtype or g.dtype)],
         interpret=interpret,
     )(g)
     return out.reshape(N, H, W, C)
 
 
-def _fwd(NHWC_X, filter_size, stride, dilation):
+def _fwd(NHWC_X, filter_size, stride, dilation, out_dtype):
     # The primal rides along only for its static shape/dtype (it is a step
     # input either way, so this adds no residual memory).
-    return (extract_patches_transposed(NHWC_X, filter_size, stride, dilation),
+    return (extract_patches_transposed(NHWC_X, filter_size, stride, dilation,
+                                       out_dtype),
             NHWC_X)
 
 
-def _bwd(filter_size, stride, dilation, res, g):
+def _bwd(filter_size, stride, dilation, out_dtype, res, g):
     # Pallas col2im: the XLA transpose of the slice-form program relayouts
     # the [N, P, L] cotangent back through the stacked-intermediate layouts
     # (~80us/step of fresh copies at the flagship shape, measured) — the
     # mirrored kernel accumulates the overlapping windows in VMEM instead.
     dimg = _pallas_col2im(g, res.shape, filter_size, stride, dilation,
-                          interpret=jax.default_backend() != 'tpu')
+                          interpret=jax.default_backend() != 'tpu',
+                          out_dtype=res.dtype)
     return (dimg.astype(res.dtype),)
 
 

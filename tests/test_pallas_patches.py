@@ -121,3 +121,72 @@ def test_last_layer_elbo_invariant(monkeypatch):
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize('H,W,C,f,s,d', SHAPES[:3])
+def test_bf16_extraction_is_cast_of_slice_form(H, W, C, f, s, d):
+    """out_dtype=bf16 emits EXACTLY the bf16 cast of the slice-form
+    extraction (the kernel moves values untouched; the store rounds
+    once)."""
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(4, H, W, C).astype(np.float32))
+    got = extract_patches_transposed(X, f, s, d, jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    want = _ref_transposed(X, f, s, d).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_bf16_extraction_backward_f32_accumulation():
+    """The col2im backward of a bf16-emitting extraction accumulates in
+    f32 and returns f32 image cotangents equal to the slice-form
+    transpose applied to the (bf16) cotangent."""
+    rng = np.random.RandomState(1)
+    H = W = 8
+    f, s, d = 3, 1, 1
+    X = jnp.asarray(rng.randn(3, H, W, 2).astype(np.float32))
+    G = jnp.asarray(rng.randn(3, 36, 18).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    def loss(x):
+        p = extract_patches_transposed(x, f, s, d, jnp.bfloat16)
+        return jnp.sum(p.astype(jnp.float32) * G.astype(jnp.float32))
+
+    gx = jax.grad(loss)(X)
+    assert gx.dtype == X.dtype
+
+    def loss_ref(x):
+        return jnp.sum(_ref_transposed(x, f, s, d)
+                       * G.astype(jnp.float32))
+
+    gref = jax.grad(loss_ref)(X)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_patches_kernel_consumer_close(monkeypatch):
+    """DEEPCGP_BF16_PATCHES=1 changes Kzx/Kdiag only by one bf16 rounding
+    of the patch values (f32 norms, DEFAULT-precision cross products)."""
+    from deepcgp_tpu.models.base_kernels import RBF
+    from deepcgp_tpu.models.conv_kernels import AdditivePatchKernel
+    from deepcgp_tpu.models.views import FullView
+
+    monkeypatch.setenv('DEEPCGP_PALLAS_EXTRACT', '1')
+    rng = np.random.RandomState(2)
+    view = FullView(input_size=(10, 10), filter_size=5, feature_maps=1,
+                    stride=1)
+    X = jnp.asarray(rng.randn(4, 100).astype(np.float32))
+    Z = jnp.asarray(rng.randn(7, view.patch_length).astype(np.float32))
+    kern = AdditivePatchKernel.create(
+        RBF.create(variance=1.3, lengthscales=2.0, dtype=jnp.float32),
+        view, dtype=jnp.float32)
+    assert kern._pallas_order()
+
+    off = kern.Kzx_NM(Z, X)
+    off_d = kern.Kdiag(X)
+    monkeypatch.setenv('DEEPCGP_BF16_PATCHES', '1')
+    on = kern.Kzx_NM(Z, X)
+    on_d = kern.Kdiag(X)
+    assert np.abs(np.asarray(on) - np.asarray(off)).max() < 2e-2
+    np.testing.assert_allclose(np.asarray(on_d), np.asarray(off_d),
+                               rtol=1e-6)
