@@ -36,16 +36,17 @@ def _bench_config(tag, flags, optimizer, X, Y, steps=None):
     """Build + warm up + time one config; returns (steps/s, analytic MFU
     diagnostics dict).  Emits breadcrumbs + the efficiency line on stderr.
 
-    The timed chunk is LONG (default 2400 steps, ~2.5-4s of device time —
-    far under the ~60s remote-worker crash threshold) because each
+    The timed chunk is LONG (default 4800 steps, ~5-7s of device time —
+    still well under the ~60s remote-worker crash threshold) because each
     run_chunk invocation pays a fixed ~28ms of remote-tunnel RPC latency
     (measured: the same 1341us/step device trace yields 674 steps/s at
     chunk=200 and 697 at chunk=300; the residual fits a constant per-call
-    overhead).  Real training amortizes identically — the experiment
-    driver scans test_every-sized chunks — so short-chunk numbers
-    UNDERSTATE device throughput.  DEEPCGP_BENCH_CHUNK overrides."""
+    overhead; 2400 -> 4800 bought flagship 996.1 -> 1003.2).  Real
+    training amortizes identically — the experiment driver scans
+    test_every-sized chunks — so short-chunk numbers UNDERSTATE device
+    throughput.  DEEPCGP_BENCH_CHUNK overrides."""
     if steps is None:
-        steps = int(os.environ.get('DEEPCGP_BENCH_CHUNK', 2400))
+        steps = int(os.environ.get('DEEPCGP_BENCH_CHUNK', 4800))
     import jax
     import jax.numpy as jnp
 
