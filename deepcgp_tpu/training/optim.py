@@ -178,8 +178,12 @@ def scale_by_adam_storage(storage_dtype=None, b1=0.9, b2=0.999, eps=1e-8,
     def update(updates, state, params=None):
         del params
         count_inc = state.count + 1
-        c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
-        c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+        # Weak-typed exactly like optax.scale_by_adam's bias correction
+        # (f64 under x64, f32 on TPU): an earlier f32-pinned form drifted
+        # 7e-6/step from optax and broke the f64 trajectory-parity matrix
+        # once 'auto' made this transform the default for every config.
+        c1 = 1.0 - b1 ** count_inc
+        c2 = 1.0 - b2 ** count_inc
         # Distinct dither stream per (step, leaf, moment): the salt feeds
         # the avalanche hash in _sr_to_bf16, so consecutive steps see
         # independent rounding directions per element.
