@@ -136,4 +136,20 @@ def multi_output_conditional(
             fvar = fvar + jnp.transpose(
                 qterm.reshape(P, N, -1), (2, 0, 1))           # [R, P, N]
 
+    if not full_cov:
+        # TPU f32 guard: with an ill-conditioned Kmm (near-duplicate
+        # inducing patches — e.g. k-means centroids on the coarse UCI
+        # digits set), the inverse-apply matmul noise scales like
+        # ||Lm_inv||^2 * eps * Knn and can exceed a small true posterior
+        # variance, pushing the Knn - ||A||^2 diagonal negative (measured
+        # -5e-3 on TPU vs the +9e-4 exact-f32 value on the digits 2-layer
+        # config, which then NaN'd sqrt(var) in sampling from step one).
+        # The diagonal is a marginal variance, >= 0 by definition and
+        # exactly 0 at an inducing input in the noiseless limit, so 0 is
+        # the numerically-correct clamp, not a fudge; the q_sqrt term
+        # added above is a sum of squares and cannot un-negate it.
+        # The reference never needed this only because gpflow runs f64
+        # (`conv_gp/conditionals.py:40-42` subtracts unprotected).
+        fvar = jnp.maximum(fvar, 0.0)
+
     return fmean, fvar

@@ -28,6 +28,7 @@ _SHAPES = {
     'mnist': ((28, 28), 1, 10),
     'fashion_mnist': ((28, 28), 1, 10),
     'cifar10': ((32, 32), 3, 10),
+    'digits': ((8, 8), 1, 10),
 }
 
 
@@ -83,9 +84,38 @@ def learnable_blobs(n, shape, classes, seed):
     return X.astype(np.float32), y
 
 
+_DIGITS_SPLIT_SEED = 42  # fixed: the split IS the dataset definition
+_DIGITS_TEST_FRACTION = 0.2
+
+
+def _load_digits_raw():
+    """UCI handwritten digits (1,797 real 8x8 grayscale scans, 10 classes)
+    bundled inside scikit-learn's wheel — the one REAL image-classification
+    dataset available in this zero-egress environment.  Returned in the
+    observations-style flat layout ([N, 64] f64, pixel range 0..16) with a
+    FIXED seeded 80/20 split, so the measured test accuracy is a stable,
+    reproducible artifact (PARITY.md records it).  Returns None when
+    sklearn is unavailable so the loader falls through to npz/synthetic."""
+    try:
+        from sklearn.datasets import load_digits
+    except Exception:
+        return None
+    d = load_digits()
+    X = d.data.astype(np.float64)           # [1797, 64], values 0..16
+    y = d.target.astype(np.int64)
+    perm = np.random.RandomState(_DIGITS_SPLIT_SEED).permutation(len(X))
+    X, y = X[perm], y[perm]
+    n_test = int(round(len(X) * _DIGITS_TEST_FRACTION))
+    return X[n_test:], y[n_test:], X[:n_test], y[:n_test]
+
+
 def load_dataset(name: str):
     """Returns (x_train, y_train, x_test, y_test) in the reference's raw
     layout (MNIST flat [N, 784]; CIFAR NCHW uint8-scale floats)."""
+    if name == 'digits':
+        loaded = _load_digits_raw()
+        if loaded is not None:
+            return loaded
     loaded = _load_npz(name)
     if loaded is None:
         import warnings
@@ -136,6 +166,31 @@ def mnist_data(flags, dtype=np.float32, fashion: bool = False):
         pass
     return (x_train.reshape(-1, 28, 28, 1), y_train,
             x_test.reshape(-1, 28, 28, 1), y_test)
+
+
+def digits_data(flags, dtype=np.float32):
+    """Real-data pipeline for the bundled UCI digits set: identical
+    preprocessing to `mnist_data` (per-pixel StandardScaler fit on train —
+    `conv_gp/mnist.py:40-45`), reshaped to 8x8x1 images.  1,438 train /
+    359 test under the fixed split (see `_load_digits_raw`)."""
+    x_train, y_train, x_test, y_test = load_dataset('digits')
+    y_train = y_train.reshape(-1, 1)
+    y_test = y_test.reshape(-1, 1)
+    x_train, y_train = x_train[:flags.N], y_train[:flags.N]
+    if getattr(flags, 'test_size', None):
+        rng = np.random.RandomState(getattr(flags, 'seed', 0))
+        chosen = rng.choice(np.arange(len(x_test)),
+                            min(flags.test_size, len(x_test)), replace=False)
+        x_test, y_test = x_test[chosen], y_test[chosen]
+    scaler = StandardScaler()
+    x_train = scaler.fit_transform(x_train.astype(np.float64)).astype(dtype)
+    x_test = scaler.transform(x_test.astype(np.float64)).astype(dtype)
+    try:  # flat-layout stats for serving (see mnist_data)
+        flags.preprocessing = {'mean': scaler.mean_, 'scale': scaler.scale_}
+    except AttributeError:
+        pass
+    return (x_train.reshape(-1, 8, 8, 1), y_train,
+            x_test.reshape(-1, 8, 8, 1), y_test)
 
 
 def cifar_data(flags, dtype=np.float32):

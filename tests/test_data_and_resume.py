@@ -31,6 +31,32 @@ def test_mnist_preprocessing_standardized():
     assert xte.shape == (40, 28, 28, 1)
 
 
+def test_digits_real_data_pipeline():
+    """The bundled UCI digits set is REAL data (no synthetic fallback):
+    fixed deterministic split, train/test disjoint, MNIST-style per-pixel
+    standardization with zero-variance border pixels left finite."""
+    f = _flags(N=1438, test_size=359)
+    xtr, ytr, xte, yte = data.digits_data(f)
+    assert xtr.shape == (1438, 8, 8, 1) and xtr.dtype == np.float32
+    assert xte.shape == (359, 8, 8, 1)
+    assert ytr.shape == (1438, 1) and set(np.unique(ytr)) <= set(range(10))
+    assert np.isfinite(xtr).all() and np.isfinite(xte).all()
+    flat = xtr.reshape(len(xtr), -1)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=1e-4)
+    stds = flat.std(axis=0)
+    assert np.all(np.isclose(stds, 1.0, atol=1e-3) | (stds < 1e-6))
+    # Deterministic split, and train/test rows disjoint (real scans are
+    # unique up to a handful of near-duplicates; exact-row overlap must
+    # be zero for the fixed split).
+    xtr2, _, xte2, _ = data.digits_data(_flags(N=1438, test_size=359))
+    assert np.array_equal(xtr, xtr2) and np.array_equal(xte, xte2)
+    tr_rows = {r.tobytes() for r in flat}
+    te_rows = {r.tobytes() for r in xte.reshape(len(xte), -1)}
+    assert not (tr_rows & te_rows)
+    # Every class present in both splits.
+    assert len(np.unique(ytr)) == 10 and len(np.unique(yte)) == 10
+
+
 def test_cifar_tail_moves_to_test_and_normalizes():
     # Synthetic CIFAR has 6000 train points; ask for 5000 so 1000 move.
     f = _flags(N=5000, test_size=None)

@@ -99,6 +99,33 @@ def test_conditional_no_qsqrt_and_precomputed_Lm():
     np.testing.assert_allclose(np.asarray(got_var), want_var, atol=1e-8)
 
 
+def test_conditional_diag_variance_clamped_nonnegative():
+    """The diagonal Knn - ||A||^2 must be clamped at 0: on TPU f32 the
+    inverse-apply matmul noise exceeds a tiny true posterior variance when
+    Kmm is ill-conditioned (near-duplicate inducing patches), and the
+    resulting negative variance NaN'd sqrt(var) in sampling (observed on
+    the UCI-digits 2-layer config; exact arithmetic gives +9e-4 there).
+    Doctored inputs force the subtraction negative in exact arithmetic too:
+    Kmm = I (so A == Kmn row form) and Knn slightly below ||A||^2."""
+    P, M, N = 2, 4, 3
+    Kmn = RNG.randn(P, M, N)
+    a2 = np.sum(np.square(Kmn), axis=1)                    # [P, N] = ||A||^2
+    Knn = a2 - 1e-6                                        # negative by 1e-6
+    f = np.zeros((M, 1))
+    _, got_var = multi_output_conditional(
+        jnp.asarray(Kmn), jnp.asarray(np.eye(M)), jnp.asarray(Knn),
+        jnp.asarray(f))
+    got_var = np.asarray(got_var)
+    assert np.isfinite(got_var).all()
+    assert (got_var >= 0.0).all()
+    # Healthy variances are untouched by the clamp.
+    Knn_ok = a2 + 0.5
+    _, var_ok = multi_output_conditional(
+        jnp.asarray(Kmn), jnp.asarray(np.eye(M)), jnp.asarray(Knn_ok),
+        jnp.asarray(f))
+    np.testing.assert_allclose(np.asarray(var_ok)[0], 0.5, atol=1e-8)
+
+
 @pytest.mark.parametrize("use_K", [False, True])
 def test_gauss_kl_matches_oracle(use_K):
     M, R = 10, 4
