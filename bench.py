@@ -162,6 +162,48 @@ def _numerics_probe(flags, steps_per_chunk=300, chunks=2):
     return acc, final_elbo
 
 
+def _digits_probe(steps=1000):
+    """REAL-data generalization guard: the 2-layer UCI-digits config
+    (`deepcgp_tpu/digits.py` — 1,797 genuine handwritten-digit scans
+    bundled in scikit-learn's wheel, fixed 80/20 split) trained for 1000
+    Adam steps, scored on the held-out 359 scans.  Unlike the synthetic
+    blobs probe this measures real-data test accuracy, the quantity the
+    reference's own results tables report; expected ~0.99 (PARITY.md
+    "Real data: UCI digits" — the full run measured 0.9944 at step 1000,
+    0.9916 at convergence).  Returns NaN-silently-skip only if sklearn is
+    missing (never in this image)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepcgp_tpu.models.builder import build_model
+    from deepcgp_tpu.training import trainer
+    from deepcgp_tpu.training.data import digits_data
+    from deepcgp_tpu.training.trainer import TrainConfig
+
+    f = SimpleNamespace(N=1438, test_size=359, seed=0, M='64,64',
+                        feature_maps='10', filter_sizes='3,3',
+                        strides='1,1', num_samples=10, batch_size=64,
+                        base_kernel='rbf', white=False, last_kernel='conv',
+                        identity_mean=False)
+    xtr, ytr, xte, yte = digits_data(f)
+    model = build_model(f, xtr, ytr, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=7000,
+                         gamma=0.001, batch_size=f.batch_size)
+    state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    Xd = jnp.asarray(xtr.reshape(len(xtr), -1))
+    state, elbos = trainer.run_chunk(state, config, Xd, jnp.asarray(ytr),
+                                     steps)
+    acc = trainer.accuracy(state.model, xte.reshape(len(xte), -1), yte,
+                           jax.random.PRNGKey(9), batch_size=128,
+                           num_samples=5)
+    _log(f"[digits-probe] {steps} Adam steps on UCI digits (2-layer): "
+         f"held-out accuracy {acc:.4f}, final elbo {float(elbos[-1]):.1f}")
+    return acc
+
+
 def main():
     import jax
 
@@ -208,6 +250,9 @@ def main():
         acc, probe_elbo = _numerics_probe(flags)
         result.update(probe_train_accuracy=round(acc, 4),
                       probe_final_elbo=round(probe_elbo, 1))
+        # Real-data guard: held-out accuracy on genuine handwritten digits
+        # (the one real image dataset available offline in this image).
+        result.update(digits_test_accuracy=round(_digits_probe(), 4))
 
     print(json.dumps(result))
     return result
