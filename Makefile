@@ -1,5 +1,5 @@
 .PHONY: test test-fast bench dryrun native \
-	mnist-parity mnist-parity-m1024 cifar-parity
+	mnist-parity mnist-parity-m1024 cifar-parity digits
 
 # Real-data accuracy parity: TWO explicit MNIST targets (ADVICE r3).
 # Both need mnist.npz under $DEEPCGP_DATA_DIR (or ~/.cache/deepcgp);
@@ -16,6 +16,14 @@ mnist-parity-m1024:
 # (0.7385 final accuracy).  Needs cifar10.npz under $DEEPCGP_DATA_DIR.
 cifar-parity:
 	python examples/cifar_parity.py
+
+# REAL-data run that works offline today: 2-layer conv-GP on the bundled
+# UCI digits set (PARITY.md "Real data: UCI digits"; measured 0.9916
+# held-out at convergence, peak 0.9944 — beats the RBF-SVM 0.9805 on the
+# identical split).
+digits:
+	python -m deepcgp_tpu.digits --name digits2l \
+	  -M 64,64 --feature-maps 10 --filter-sizes 3,3 --strides 1,1
 
 test:
 	python -m pytest tests/ -q

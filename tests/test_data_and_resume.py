@@ -84,6 +84,21 @@ def test_default_parser_reference_flags():
     assert args.optimizer == 'Adam' and args.gamma == 0.001
 
 
+def test_digits_parser_defaults_match_8x8_geometry():
+    """The digits entry shrinks the reference MNIST defaults to the 8x8
+    geometry (filter 5 -> 16 patches, N=1438/359 split constants)."""
+    from deepcgp_tpu.digits import read_args
+    args = read_args(['--name', 'x'])
+    assert args.M == '64' and args.filter_sizes == '5' and args.strides == '1'
+    assert args.last_kernel == 'conv' and args.feature_maps == ''
+    assert args.N == 1438 and args.test_size == 359
+    assert args.batch_size == 64 and args.test_every == 1000
+    # The measured-headline 2-layer invocation parses cleanly too.
+    args2 = read_args(['--name', 'x', '-M', '64,64', '--feature-maps', '10',
+                       '--filter-sizes', '3,3', '--strides', '1,1'])
+    assert args2.M == '64,64' and args2.feature_maps == '10'
+
+
 def _tiny_state():
     rng = np.random.RandomState(0)
     X = rng.randn(32, 8, 8, 1).astype(np.float32)
