@@ -58,3 +58,26 @@ def test_eval_key_fresh_per_step():
     assert not np.array_equal(k100, np.asarray(eval_key(0, 200)))
     np.testing.assert_array_equal(k100, np.asarray(eval_key(0, 100)))
     assert not np.array_equal(k100, np.asarray(eval_key(1, 100)))
+
+
+def test_digits_experiment_real_data_lifecycle(tmp_path):
+    """The UCI-digits entry wires REAL data through the full Experiment
+    lifecycle (the only entry whose data needs no synthetic fallback):
+    two chunks must improve the ELBO and write the standard artifacts."""
+    from deepcgp_tpu.digits import Digits, read_args
+    exp = Digits(read_args([
+        '--name', 'dge2e', '-N', '256', '-M', '8',
+        '--test-every', '5', '--lr-decay-steps', '10', '--test-size', '64',
+        '--num-samples', '2', '--batch-size', '16',
+        '--log-dir', str(tmp_path), '--no-tensorboard']))
+    try:
+        exp.train_step()
+        first = exp.last_mean_elbo
+        exp.train_step()
+        second = exp.last_mean_elbo
+    finally:
+        exp.conclude()
+    assert np.isfinite(first) and np.isfinite(second) and second > first
+    csv_lines = ((tmp_path / 'dge2e') / 'log.csv').read_text().splitlines()
+    assert len(csv_lines) == 3  # header + 2 entries
+    assert os.path.exists(tmp_path / 'dge2e.npy')
