@@ -33,12 +33,30 @@ def square_distance(X: jax.Array, X2: jax.Array | None = None) -> jax.Array:
     # — upcast (fuses into the reduce/matmul prologue, no materialized
     # f32 copy of the tensor).
     Xf = X.astype(jnp.float32) if X.dtype == jnp.bfloat16 else X
-    Xs = jnp.sum(jnp.square(Xf), axis=-1)
     if X2 is None:
+        # CENTER the rows before the self-gram: pairwise distances are
+        # translation-invariant, so subtracting the (stop-gradient) row
+        # mean is exact in both value and gradient — but it shrinks the
+        # magnitudes entering the Xs - 2XX^T + X2s cancellation from
+        # ||x||^2 to ||x - x_bar||^2.  HIGHEST precision alone cannot do
+        # this: it fixes multiply error, not cancellation.  Measured on
+        # the 3-layer CIFAR-geometry config (last-layer Z = [384, 250]
+        # k-means centroids of ||z||^2 ~ 1e3 features, 47 duplicate rows):
+        # uncentered, the f32 gram's min eigenvalue was -7.3e-3 — BELOW
+        # the -1e-3 jitter floor, so chol(Kuu) NaN'd the whole training
+        # step; centered, the noise drops under the jitter and the
+        # factorization holds.  Self-grams are O(M^2 D) — off the hot
+        # path — so the extra mean/subtract is free; cross-covariances
+        # (the step's FLOPs) stay untouched and unprotected (their noise
+        # is absorbed by the conditional's variance clamp, never by a
+        # Cholesky).
+        Xf = Xf - jax.lax.stop_gradient(Xf.mean(axis=-2, keepdims=True))
+        Xs = jnp.sum(jnp.square(Xf), axis=-1)
         from deepcgp_tpu.ops.linalg import gram_syrk
         cross = gram_syrk(Xf)   # HIGHEST fwd; one-matmul HIGH bwd
         X2s = Xs
     else:
+        Xs = jnp.sum(jnp.square(Xf), axis=-1)
         X2f = X2.astype(jnp.float32) if X2.dtype == jnp.bfloat16 else X2
         cross = jnp.matmul(Xf, jnp.swapaxes(X2f, -1, -2))
         X2s = jnp.sum(jnp.square(X2f), axis=-1)
