@@ -170,8 +170,10 @@ def _digits_probe(steps=1000):
     blobs probe this measures real-data test accuracy, the quantity the
     reference's own results tables report; expected ~0.99 (PARITY.md
     "Real data: UCI digits" — the full run measured 0.9944 at step 1000,
-    0.9916 at convergence).  Returns NaN-silently-skip only if sklearn is
-    missing (never in this image)."""
+    0.9916 at convergence).  The loader REFUSES the synthetic fallback for
+    'digits' (training/data.py::load_dataset), so a broken sklearn install
+    cannot masquerade as real data: this probe returns None (JSON null in
+    the driver record) instead of a fake accuracy."""
     from types import SimpleNamespace
 
     import jax
@@ -187,7 +189,15 @@ def _digits_probe(steps=1000):
                         strides='1,1', num_samples=10, batch_size=64,
                         base_kernel='rbf', white=False, last_kernel='conv',
                         identity_mean=False)
-    xtr, ytr, xte, yte = digits_data(f)
+    try:
+        xtr, ytr, xte, yte = digits_data(f)
+    except RuntimeError as e:
+        _log(f"[digits-probe] SKIPPED — real digits unavailable: {e}")
+        return None
+    # Belt-and-braces: assert the loader really returned the 1,797-scan
+    # UCI set under the fixed 80/20 split, not a stand-in of other shape.
+    assert len(xtr) + len(xte) == 1797, \
+        f"digits loader returned {len(xtr)}+{len(xte)} rows, not 1797"
     model = build_model(f, xtr, ytr, jax.random.PRNGKey(0),
                         dtype=jnp.float32)
     config = TrainConfig(optimizer='Adam', lr=0.01, lr_decay_steps=7000,
@@ -245,6 +255,15 @@ def main():
         m_sps, m_mfu = _bench_config('mnist-m1024', mflags, 'Adam', Xm, Ym)
         result.update(m1024_steps_per_sec=round(m_sps, 3),
                       m1024_mfu_pct=m_mfu["mfu_pct"])
+        # NatGrad at M=1024: the regime the reference's headline MNIST runs
+        # use NatGrad for (`conv_gp/experiment.py:90-108`, 10x[1024,1024]
+        # variational stacks) — exercises the M>512 Pallas factor
+        # (pallas_linalg.chol_factor_batched) + SR-bf16 moments + the
+        # NatGrad update on the same program (VERDICT r4 next #5).
+        mn_sps, mn_mfu = _bench_config('mnist-m1024-natgrad', mflags,
+                                       'NatGrad', Xm, Ym)
+        result.update(m1024_natgrad_steps_per_sec=round(mn_sps, 3),
+                      m1024_natgrad_mfu_pct=mn_mfu["mfu_pct"])
         # Numerics guard: short learnable-data run so a precision/numerics
         # regression shows up in BENCH_r{N}.json (VERDICT r3 weak #4).
         acc, probe_elbo = _numerics_probe(flags)
@@ -252,7 +271,11 @@ def main():
                       probe_final_elbo=round(probe_elbo, 1))
         # Real-data guard: held-out accuracy on genuine handwritten digits
         # (the one real image dataset available offline in this image).
-        result.update(digits_test_accuracy=round(_digits_probe(), 4))
+        # None (JSON null) when real digits are unavailable — never a
+        # synthetic-data number under a real-data label (ADVICE r4).
+        digits_acc = _digits_probe()
+        result.update(digits_test_accuracy=(
+            None if digits_acc is None else round(digits_acc, 4)))
 
     print(json.dumps(result))
     return result

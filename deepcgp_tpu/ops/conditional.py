@@ -151,5 +151,18 @@ def multi_output_conditional(
         # The reference never needed this only because gpflow runs f64
         # (`conv_gp/conditionals.py:40-42` subtracts unprotected).
         fvar = jnp.maximum(fvar, 0.0)
+    else:
+        # Mirror of the diag clamp for the full-cov path: the SAME f32
+        # noise sits on the diagonal of the [N, N] downdate
+        # (`conv_gp/conditionals.py:36-41` under f64 never sees it), and
+        # sample_from_conditional(full_cov=True) Choleskys this matrix —
+        # a negative diagonal NaNs it beyond what the sampling jitter can
+        # absorb.  Marginal variances are >= 0 by definition, so floor the
+        # diagonal at 0 (subtract its negative part; off-diagonals and
+        # healthy entries untouched).  Eval/sampling path only — cost is
+        # irrelevant, so the scatter-add backward of jnp.diagonal is fine.
+        diag = jnp.diagonal(fvar, axis1=-2, axis2=-1)        # [R, P, N]
+        eye = jnp.eye(fvar.shape[-1], dtype=fvar.dtype)
+        fvar = fvar - jnp.minimum(diag, 0.0)[..., None] * eye
 
     return fmean, fvar

@@ -117,8 +117,17 @@ def _vmem_max_block(HWC: int, PL: int, itemsize: int = 4) -> int:
 
 def _pick_block(N: int, HWC: int, PL: int) -> int:
     """Largest divisor of N that is <= _BLOCK_N AND fits the VMEM budget
-    (grid blocks must tile N)."""
-    cap = min(N, _BLOCK_N, _vmem_max_block(HWC, PL))
+    (grid blocks must tile N).  Raises when even a single-image block
+    exceeds the budget — layer callers never get here (supports() gates on
+    the same bound), but a direct caller on a too-large geometry should
+    fail with a legible error, not die inside Mosaic (ADVICE r4)."""
+    vmax = _vmem_max_block(HWC, PL)
+    if vmax < 1:
+        raise ValueError(
+            f"pallas patch extraction: a single-image block (HWC={HWC}, "
+            f"PL={PL}) exceeds the {_VMEM_BUDGET >> 20}MB VMEM budget; use "
+            "the slice-form ops.patches.extract_patches for this geometry")
+    cap = min(N, _BLOCK_N, vmax)
     for b in range(max(cap, 1), 0, -1):
         if N % b == 0:
             return b

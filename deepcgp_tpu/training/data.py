@@ -111,11 +111,22 @@ def _load_digits_raw():
 
 def load_dataset(name: str):
     """Returns (x_train, y_train, x_test, y_test) in the reference's raw
-    layout (MNIST flat [N, 784]; CIFAR NCHW uint8-scale floats)."""
+    layout (MNIST flat [N, 784]; CIFAR NCHW uint8-scale floats).
+
+    'digits' NEVER falls through to the synthetic generator: it is the
+    repo's REAL-data accuracy artifact (PARITY.md, bench.py's
+    digits_test_accuracy), and a silent blob substitute would report
+    near-1.0 synthetic accuracy under a real-data label (ADVICE r4).
+    When sklearn is unavailable an explicit npz may stand in; otherwise
+    this raises so callers fail loudly (bench emits null instead)."""
     if name == 'digits':
-        loaded = _load_digits_raw()
-        if loaded is not None:
-            return loaded
+        loaded = _load_digits_raw() or _load_npz(name)
+        if loaded is None:
+            raise RuntimeError(
+                "real UCI digits unavailable (sklearn.datasets.load_digits "
+                f"failed and no digits.npz under {data_dir()}); refusing "
+                "the synthetic fallback for a real-data artifact")
+        return loaded
     loaded = _load_npz(name)
     if loaded is None:
         import warnings

@@ -197,13 +197,25 @@ def restore_train_state(directory: str, abstract_state):
     """Restore the newest full TrainState; ``abstract_state`` is a template
     with the right structure/shapes/dtypes (e.g. a freshly built state).
 
-    Migration: snapshots written before ``TrainState.prev_model`` existed
-    (the NatGrad deferred-verification rollback target) have no
-    'prev_model' subtree.  Restoring against a template WITHOUT it and
-    seeding prev_model from the restored model preserves resumability of
-    old checkpoints — the restored parameters were loss-verified when
-    saved, which is exactly what prev_model asserts."""
+    Migrations:
+
+    * snapshots written before ``TrainState.prev_model`` existed (the
+      NatGrad deferred-verification rollback target) have no 'prev_model'
+      subtree.  Restoring against a template WITHOUT it and seeding
+      prev_model from the restored model preserves resumability of old
+      checkpoints — the restored parameters were loss-verified when saved,
+      which is exactly what prev_model asserts.
+    * optimizer-moment STORAGE DTYPE changes (DEEPCGP_ADAM_MOMENT_DTYPE /
+      the per-leaf 'auto' SR-bf16 default, training/trainer.py::_adam_core):
+      every leaf restores with an explicit cast to the template's dtype
+      (orbax RestoreArgs(dtype=...)), so an f32-moment snapshot resumes
+      into a bf16-storage run and vice versa instead of failing on the
+      dtype mismatch (ADVICE r4).  The f32->bf16 direction is a one-time
+      round-to-nearest of the restored value — subsequent stores go
+      through the optimizer's own stochastic rounding — and bf16->f32 is
+      exact.  Shape/structure mismatches still propagate unmasked."""
     import orbax.checkpoint as ocp
+    from orbax.checkpoint.checkpoint_utils import construct_restore_args
     directory = os.path.abspath(directory)
     step = latest_train_state_step(directory)
     if step is None:
@@ -225,10 +237,13 @@ def restore_train_state(directory: str, abstract_state):
                    'step': abstract_state.step,
                    'steps_back': abstract_state.steps_back,
                    'key': abstract_state.key}
-            legacy = ckptr.restore(path, tpl)
+            legacy = ckptr.restore(path, tpl,
+                                   restore_args=construct_restore_args(tpl))
             prev = legacy['model'] if abstract_state.prev_model != () else ()
             return abstract_state.replace(prev_model=prev, **legacy)
-        return ckptr.restore(path, abstract_state)
+        return ckptr.restore(
+            path, abstract_state,
+            restore_args=construct_restore_args(abstract_state))
 
 
 def _snapshot_has_key(ckptr, path: str, key: str) -> bool:

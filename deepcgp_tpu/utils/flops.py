@@ -127,6 +127,57 @@ def training_step_hardware_flops(model, batch_size: int) -> float:
     return _step_flops(model, batch_size, hardware=True)
 
 
+def _tree_bytes(tree) -> int:
+    import jax
+    return sum(leaf.size * leaf.dtype.itemsize
+               for leaf in jax.tree_util.tree_leaves(tree)
+               if hasattr(leaf, 'size'))
+
+
+def training_step_min_bytes(model, batch_size: int,
+                            moment_bytes_per_param: int = 8) -> float:
+    """Analytic MODEL-MINIMAL HBM bytes of ONE optimizer step — the bytes
+    companion of :func:`training_step_flops` (VERDICT r4 next #1).
+
+    Convention (the floor of floors — assumes perfect fusion, i.e. NO
+    intermediate ever round-trips HBM; everything recomputable is
+    recomputed in VMEM): per step the program must at minimum
+      * read the minibatch rows once               (B * D * itemsize),
+      * read every parameter twice (fwd + bwd — the LLM-convention
+        weights-read accounting; a fused step could in principle cache
+        layer-sized params in VMEM, but the [R, M, M] variational stacks
+        exceed VMEM at every shipped config),
+      * write every gradient once and read it once (optimizer input),
+      * read + write the optimizer moments          (``moment_bytes_per_
+        param`` = 8 for the two f32 Adam moments; the SR-bf16 storage
+        halves it), each direction once,
+      * write every updated parameter once.
+    Everything else — kernel matrices, im2col tensors, conditional
+    intermediates, MC samples — is implementation traffic: legitimate
+    (often cheaper than recompute) but not part of the floor.  The audit
+    (tools/bytes_audit.py) compares the XLA program's measured bytes
+    against this figure the way MFU compares achieved to peak FLOPs.
+    """
+    p_bytes = _tree_bytes(model)
+    n_params = p_bytes / 4                       # f32 leaves
+    # Minibatch row width: the first layer's input dimensionality.
+    view = getattr(model.layers[0], 'view', None)
+    if view is None:
+        kern = getattr(model.layers[0], 'kernel', None)
+        view = getattr(kern, 'view', None)
+    if view is not None:
+        H, W = view.input_size
+        D = H * W * view.feature_maps
+    else:
+        D = int(model.layers[0].Z.shape[1])
+    batch_read = batch_size * D * 4
+    return float(batch_read
+                 + 2 * p_bytes          # params read fwd + bwd
+                 + 2 * p_bytes          # grads written + read
+                 + 2 * n_params * moment_bytes_per_param  # moments r+w
+                 + p_bytes)             # updated params written
+
+
 # Peak dense-matmul throughput per chip, FLOP/s.  The library computes in
 # f32, which the v5e MXU executes via bf16x3-style passes below the bf16
 # peak; MFU is conventionally quoted against the bf16 peak, so the figure

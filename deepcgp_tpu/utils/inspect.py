@@ -80,9 +80,14 @@ def patch_embedding(layer, NHWC_X: np.ndarray, max_data_patches: int = 5000,
         min(max_data_patches, NHWC_X.shape[0] * 4), view.filter_size))
     joint = np.concatenate([Z, data], axis=0)
     try:
-        import umap  # optional; not in the base image
+        import umap  # optional dependency (umap-learn)
         emb = umap.UMAP(n_components=2).fit_transform(joint)
     except ImportError:
+        # umap-learn is genuinely absent from this offline image, so the
+        # embeddings reproduced from `notebooks/Inspect.ipynb` use joint
+        # PCA as the documented substitute; install umap-learn to get the
+        # notebooks' exact figure (the conditional import prefers it —
+        # pinned by test_inspect.py::test_patch_embedding_uses_umap...).
         emb = _pca_2d(joint)
     return emb[:Z.shape[0]], emb[Z.shape[0]:]
 

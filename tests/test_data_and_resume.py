@@ -57,6 +57,30 @@ def test_digits_real_data_pipeline():
     assert len(np.unique(ytr)) == 10 and len(np.unique(yte)) == 10
 
 
+def test_digits_loader_refuses_synthetic_fallback(monkeypatch, tmp_path):
+    """Fault injection (VERDICT r4 #4b / ADVICE r4): with the real loader
+    poisoned and no digits.npz, load_dataset('digits') must RAISE — never
+    hand back synthetic blobs under a real-data label — and bench's probe
+    must turn that into a None (JSON null) instead of a fake accuracy."""
+    monkeypatch.setattr(data, '_load_digits_raw', lambda: None)
+    monkeypatch.setenv('DEEPCGP_DATA_DIR', str(tmp_path))  # no npz either
+    with pytest.raises(RuntimeError, match='refusing the synthetic'):
+        data.load_dataset('digits')
+    with pytest.raises(RuntimeError):
+        data.digits_data(_flags(N=1438, test_size=359))
+    # bench._digits_probe maps the refusal to None before any device work.
+    import bench
+    assert bench._digits_probe() is None
+    # An explicit digits.npz (real data provided out-of-band) is honored.
+    H = 8
+    xtr = np.random.RandomState(0).rand(10, H * H)
+    np.savez(tmp_path / 'digits.npz', x_train=xtr,
+             y_train=np.zeros(10, np.int64), x_test=xtr[:3],
+             y_test=np.zeros(3, np.int64))
+    out = data.load_dataset('digits')
+    assert out[0].shape == (10, 64)
+
+
 def test_cifar_tail_moves_to_test_and_normalizes():
     # Synthetic CIFAR has 6000 train points; ask for 5000 so 1000 move.
     f = _flags(N=5000, test_size=None)

@@ -45,6 +45,34 @@ def test_patch_embedding_pca_fallback():
     assert emb_d.shape[1] == 2
 
 
+def test_patch_embedding_uses_umap_when_importable(monkeypatch):
+    """The notebooks' figure is a UMAP embedding (`Inspect.ipynb`); PCA is
+    only the documented offline substitute (umap-learn is absent from this
+    image).  Pin that an importable `umap` module IS preferred: inject a
+    stub recording the call and returning a recognizable embedding."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _StubUMAP:
+        def __init__(self, n_components):
+            calls['n_components'] = n_components
+
+        def fit_transform(self, joint):
+            calls['n'] = len(joint)
+            return np.full((len(joint), 2), 7.0)
+
+    monkeypatch.setitem(sys.modules, 'umap',
+                        types.SimpleNamespace(UMAP=_StubUMAP))
+    model, X, _ = _tiny_model()
+    emb_z, emb_d = insp.patch_embedding(model.layers[0], X,
+                                        max_data_patches=100)
+    assert calls['n_components'] == 2
+    assert calls['n'] == len(emb_z) + len(emb_d)
+    assert np.all(emb_z == 7.0) and np.all(emb_d == 7.0)
+
+
 def test_noise_robustness_runs():
     model, X, Y = _tiny_model()
     accs = insp.noise_robustness(model, X[:32], Y[:32], jax.random.PRNGKey(2),

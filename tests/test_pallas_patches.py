@@ -190,3 +190,22 @@ def test_bf16_patches_kernel_consumer_close(monkeypatch):
     assert np.abs(np.asarray(on) - np.asarray(off)).max() < 2e-2
     np.testing.assert_allclose(np.asarray(on_d), np.asarray(off_d),
                                rtol=1e-6)
+
+
+def test_pick_block_raises_on_vmem_overflow():
+    """A geometry whose single-image block exceeds the VMEM budget must
+    raise a legible ValueError from the block picker, not die in Mosaic
+    (ADVICE r4): supports() gates layer callers on the same bound, but
+    direct extract_patches_transposed callers hit _pick_block first."""
+    from deepcgp_tpu.ops import pallas_patches as pp
+    # ~0.5M-elem image with a dense patch tensor: (HWC + PL)*4*2 >> 12MB.
+    HWC = 512 * 512 * 4
+    PL = 508 * 508 * 25 * 4
+    assert pp._vmem_max_block(HWC, PL) == 0
+    with pytest.raises(ValueError, match='VMEM budget'):
+        pp._pick_block(8, HWC, PL)
+    # And supports() refuses the same geometry instead of admitting it.
+    from deepcgp_tpu.models.views import FullView
+    view = FullView(input_size=(512, 512), filter_size=5, feature_maps=4,
+                    stride=1)
+    assert not pp.supports(view)

@@ -27,6 +27,28 @@ def test_dryrun_multichip(n):
     dryrun_multichip(n, dtype=jnp.float64)
 
 
+def test_dryrun_multichip_catches_wrong_but_finite_sharding(monkeypatch):
+    """Fault injection (VERDICT r4 weak #5): a sharded step whose ELBO is
+    finite but WRONG (the signature of a dropped psum / bad constraint)
+    must trip the dryrun's replicated-reference assert, so the
+    driver-visible MULTICHIP record fails loudly instead of recording
+    ok=true."""
+    import deepcgp_tpu.parallel.train as ptrain
+    orig = ptrain.make_sharded_train_fns
+
+    def poisoned(mesh, config):
+        step_fn, chunk_fn = orig(mesh, config)
+
+        def bad_step(state, xb, yb):
+            state, elbo = step_fn(state, xb, yb)
+            return state, elbo * 1.01          # finite, silently wrong
+        return bad_step, chunk_fn
+
+    monkeypatch.setattr(ptrain, 'make_sharded_train_fns', poisoned)
+    with pytest.raises(AssertionError, match='diverges'):
+        ptrain.dryrun_multichip(8, dtype=jnp.float64)
+
+
 @pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """The dp+sp sharded train step must be numerically equivalent to the

@@ -811,8 +811,11 @@ def test_resume_across_moment_dtype_change(tmp_path, monkeypatch):
     model = build_model(flags, X, Y, jax.random.PRNGKey(0),
                         dtype=jnp.float32)
     state = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    Xd = jnp.asarray(X.reshape(32, -1))
+    state, _ = trainer.run_chunk(state, config, Xd, jnp.asarray(Y), 2)
     ckpt.save_train_state(str(tmp_path), state)
 
+    # Same-dtype restore under 'auto' (tiny leaves stay f32): exact.
     monkeypatch.setenv('DEEPCGP_ADAM_MOMENT_DTYPE', 'auto')
     template = trainer.init_state(model, config, jax.random.PRNGKey(1))
     restored = ckpt.restore_train_state(str(tmp_path), template)
@@ -820,3 +823,35 @@ def test_resume_across_moment_dtype_change(tmp_path, monkeypatch):
                jax.tree_util.tree_leaves(restored.opt_state))
     for t, r in zip(lt, lr_):
         assert t.dtype == r.dtype, (t.dtype, r.dtype)
+
+    # GENUINE dtype-mismatch migration (ADVICE r4): the f32-moment snapshot
+    # restores into a bf16-storage template (cast on restore), so
+    # m1024-scale checkpoints from before the SR-bf16 default still resume.
+    monkeypatch.setenv('DEEPCGP_ADAM_MOMENT_DTYPE', 'bfloat16_sr')
+    tpl_bf16 = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    moments_bf16 = [l for l in jax.tree_util.tree_leaves(tpl_bf16.opt_state)
+                    if l.dtype == jnp.bfloat16]
+    assert moments_bf16, "bf16 template must actually hold bf16 moments"
+    r_bf16 = ckpt.restore_train_state(str(tmp_path), tpl_bf16)
+    for t, r, orig in zip(jax.tree_util.tree_leaves(tpl_bf16.opt_state),
+                          jax.tree_util.tree_leaves(r_bf16.opt_state),
+                          jax.tree_util.tree_leaves(state.opt_state)):
+        assert r.dtype == t.dtype, (r.dtype, t.dtype)
+        if orig.dtype != r.dtype:  # one-time RTN cast of the f32 value
+            np.testing.assert_allclose(np.asarray(r, np.float32),
+                                       np.asarray(orig, np.float32),
+                                       rtol=8e-3, atol=1e-8)
+    assert int(r_bf16.step) == 2
+
+    # Reverse direction: a bf16-moment snapshot resumes into f32 (exact).
+    st_bf16, _ = trainer.run_chunk(r_bf16, config, Xd, jnp.asarray(Y), 2)
+    ckpt.save_train_state(str(tmp_path), st_bf16)
+    monkeypatch.setenv('DEEPCGP_ADAM_MOMENT_DTYPE', 'float32')
+    tpl_f32 = trainer.init_state(model, config, jax.random.PRNGKey(1))
+    r_f32 = ckpt.restore_train_state(str(tmp_path), tpl_f32)
+    for t, r, orig in zip(jax.tree_util.tree_leaves(tpl_f32.opt_state),
+                          jax.tree_util.tree_leaves(r_f32.opt_state),
+                          jax.tree_util.tree_leaves(st_bf16.opt_state)):
+        assert r.dtype == t.dtype
+        np.testing.assert_array_equal(np.asarray(r, np.float32),
+                                      np.asarray(orig, np.float32))
