@@ -238,8 +238,19 @@ class AdditivePatchKernel:
         per-step pair the last layer evaluates (`conv_gp/kernels.py:108-133`
         via `conv_gp/models.py:192-198`).  XLA CSE'd the two slice-form
         extractions into one; the Pallas extraction is a custom call it
-        will not CSE, so the sharing is explicit here."""
-        from deepcgp_tpu.ops import conv_cross
+        will not CSE, so the sharing is explicit here.
+
+        Scalar-RBF over a FullView goes through the FUSED Pallas kernel
+        (ops/pallas_cross.py): extraction, cross-covariance, exp and the
+        patch sums run in one pass per direction and the [N, P, L] /
+        [N, P, M] tensors never exist in HBM — forward or backward (the
+        round-5 bytes audit attributed 35% of the flagship step to their
+        materialized round trips)."""
+        from deepcgp_tpu.ops import conv_cross, pallas_cross
+        if (pallas_cross.kernel_supported(self)
+                and pallas_cross.supported_for(self, Z.shape[0],
+                                               ND_X.shape[0])):
+            return pallas_cross.kzx_and_kdiag(self, Z, ND_X)
         patches = None
         if (self._kdiag_needs_patches()
                 or not conv_cross.supports(self.base_kernel, self.view)):

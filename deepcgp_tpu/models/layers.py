@@ -390,11 +390,22 @@ class SVGPLayer:
             # merging the recomputation back with the forward and
             # resurrecting the residual copies this remat exists to kill.
             # A/B by trace only; default keeps the barrier.
-            prevent_cse = os.environ.get(
-                'DEEPCGP_REMAT_NO_CSE_BARRIER', '0') != '1'
-            Kuf, Knn = jax.checkpoint(_svgp_kuf_kdiag,
-                                      prevent_cse=prevent_cse)(
-                self.kernel, self.Z, ND_X)
+            from deepcgp_tpu.ops import pallas_cross
+            if (pallas_cross.kernel_supported(self.kernel)
+                    and pallas_cross.supported_for(self.kernel,
+                                                   self.Z.shape[0],
+                                                   ND_X.shape[0])):
+                # Fused Pallas path (ops/pallas_cross.py): its custom VJP
+                # saves only (image, Z, scalars) and recomputes everything
+                # in VMEM — the remat below would only re-run the forward
+                # kernel for residuals the fused backward never reads.
+                Kuf, Knn = _svgp_kuf_kdiag(self.kernel, self.Z, ND_X)
+            else:
+                prevent_cse = os.environ.get(
+                    'DEEPCGP_REMAT_NO_CSE_BARRIER', '0') != '1'
+                Kuf, Knn = jax.checkpoint(_svgp_kuf_kdiag,
+                                          prevent_cse=prevent_cse)(
+                    self.kernel, self.Z, ND_X)
             Kuf, Knn = Kuf[None], Knn[None]              # [1, N, M], [1, N]
         mean, var = multi_output_conditional(
             Kuf, None, Knn, self.q_mu, full_cov=full_cov,

@@ -67,12 +67,22 @@ def transposed_patch_perm(Hout: int, Wout: int) -> np.ndarray:
 def _extract_kernel(img_ref, out_ref, *, f, stride, dilation, Hout, Wout, C):
     """img [b, H, W*C] -> out [b, Wout*Hout, f*f*C] (transposed patch order).
 
+    Thin pallas_call body around :func:`extract_into` (shared with the
+    fused cross-covariance kernel, ops/pallas_cross.py)."""
+    extract_into(img_ref[:], out_ref, f=f, stride=stride, dilation=dilation,
+                 Hout=Hout, Wout=Wout, C=C)
+
+
+def extract_into(img, out_ref, *, f, stride, dilation, Hout, Wout, C):
+    """Write the transposed-order im2col of ``img`` (a [b, H, W*C] VALUE)
+    into ``out_ref`` (a [b, Wout*Hout, f*f*C] ref — kernel output or VMEM
+    scratch).
+
     f * Wout static assignments, each a contiguous [b, Hout, f*C] window
     copy (unaligned offsets are static — Mosaic emits the lane/sublane
     shifts).  ``stride`` steps the source sublanes (strided value slice)
     and the lane window start; ``dilation`` spaces the filter rows.
     """
-    img = img_ref[:]                                   # [b, H, W*C]
     fC = f * C
 
     def _rows(row0):
@@ -194,10 +204,18 @@ def _col2im_kernel(g_ref, out_ref, acc_ref, *, f, stride, dilation, Hout,
     dimg [b, H, W*C], accumulating the overlapping windows in a VMEM
     scratch (each image element belongs to up to f*f patches).  Same 30
     static window moves as the forward, plus the adds."""
-    b, H, WC = out_ref.shape
-    dtype = out_ref.dtype
-    acc_ref[:] = jnp.zeros((b, H, WC), dtype)
-    g = g_ref[:]
+    col2im_into(g_ref[:], acc_ref, f=f, stride=stride, dilation=dilation,
+                Hout=Hout, Wout=Wout, C=C)
+    out_ref[:] = acc_ref[:]
+
+
+def col2im_into(g, acc_ref, *, f, stride, dilation, Hout, Wout, C):
+    """Accumulate the col2im of ``g`` (a [b, Wout*Hout, f*f*C] VALUE in
+    transposed patch order) into ``acc_ref`` (a zero-initialised
+    [b, H, W*C] ref).  Shared with the fused cross-covariance backward
+    (ops/pallas_cross.py)."""
+    b, H, WC = acc_ref.shape
+    acc_ref[:] = jnp.zeros((b, H, WC), acc_ref.dtype)
     fC = f * C
 
     def _acc(rows, lo, width, piece):
@@ -225,7 +243,6 @@ def _col2im_kernel(g_ref, out_ref, acc_ref, *, f, stride, dilation, Hout,
                 for dx in range(f):
                     _acc((row0,), lane0 + dx * dilation * C, C,
                          gblk[:, :, dx * C:(dx + 1) * C])
-    out_ref[:] = acc_ref[:]
 
 
 def _pallas_col2im(g: jax.Array, img_shape, filter_size: int, stride: int,

@@ -120,7 +120,7 @@ def build_compiled(config: str, steps: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--config', default='flagship',
-                    choices=['flagship', 'natgrad', 'm1024'])
+                    choices=['flagship', 'natgrad', 'm1024', 'm1024-natgrad'])
     ap.add_argument('--steps', type=int, default=200)
     ap.add_argument('--trace-dir', default='/tmp/deepcgp_bytes')
     ap.add_argument('--hlo-cache', default='/tmp/deepcgp_bytes_hlo.txt')

@@ -43,12 +43,12 @@ def build_and_warm(config: str, steps: int):
     from deepcgp_tpu.training.trainer import TrainConfig
 
     rng = np.random.RandomState(0)
-    if config == 'm1024':
+    if config in ('m1024', 'm1024-natgrad'):
         flags = BuilderFlags(M='1024', feature_maps='', filter_sizes='5',
                              strides='1', num_samples=10, batch_size=128,
                              last_kernel='rbf')
         X = rng.randn(2048, 28, 28, 1).astype(np.float32)
-        optimizer = 'Adam'
+        optimizer = 'NatGrad' if config.endswith('natgrad') else 'Adam'
     elif config == 'natgrad':
         flags = BuilderFlags(M='384,384', feature_maps='10',
                              filter_sizes='5,5', strides='3,1',
@@ -157,7 +157,7 @@ def parse_trace(trace_dir: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--config', default='flagship',
-                    choices=['flagship', 'natgrad', 'm1024'])
+                    choices=['flagship', 'natgrad', 'm1024', 'm1024-natgrad'])
     ap.add_argument('--steps', type=int, default=200)
     ap.add_argument('--trace-dir', default='/tmp/deepcgp_roofline')
     ap.add_argument('--bucket-detail', default=None,
