@@ -30,9 +30,10 @@ custom VJP recomputes patches/K in VMEM and emits dimg (via the shared
 col2im), dZ, and the scalar/vector hyperparameter gradients as per-block
 partials summed outside — nothing [N, P, *]-shaped touches HBM.
 
-Cross-covariance matmuls keep DEFAULT precision (single-pass bf16 on TPU
-f32 — same as the XLA path they replace; they are never factorized, and
-the conditional's variance clamp absorbs the noise).
+In-kernel matmuls run FULL f32 by default — strictly more precise than
+the DEFAULT (single-pass bf16) XLA contractions they replace, and
+measured perf-identical at shipped geometries (the kernels are
+extraction/issue-bound, not MXU-pass-bound; see `_bf16`).
 """
 
 from __future__ import annotations
@@ -54,7 +55,7 @@ from deepcgp_tpu.ops.pallas_patches import col2im_into, extract_into
 # VMEM working set per image is dominated by the [P, M] kernel/cotangent
 # values and the [P, L] patches; the budget keeps block_b * per-image well
 # under the 16MB scoped stack (backward holds ~3 [P, M]-sized values live).
-_VMEM_BUDGET = 10 << 20
+_VMEM_BUDGET = 13 << 20
 
 
 def _per_image_bytes(P: int, L: int, M: int, itemsize: int) -> int:
@@ -77,10 +78,29 @@ def _pick_block(N: int, P: int, L: int, M: int, itemsize: int = 4) -> int:
     cap = max((_VMEM_BUDGET - fixed) // per_img, 0)
     cap = min(int(cap), N, int(os.environ.get('DEEPCGP_PALLAS_CROSS_BLOCK',
                                               '32')))
+    Pp = -(-P // 128) * 128
     for b in range(cap, 0, -1):
-        if N % b == 0 and (b % 8 == 0 or b == N):
+        if N % b != 0 or not (b % 8 == 0 or b == N):
+            continue
+        # Selection matrices (segu + seg0 [b, bP], qt [bP, Ppad]) ride the
+        # backward's working set — admit b only if they fit too.
+        sel = itemsize * b * P * (2 * b + Pp)
+        if fixed + b * per_img + sel <= _VMEM_BUDGET:
             return b
     return 0
+
+
+def _bf16(interpret: bool) -> bool:
+    """Matmul operand precision inside the kernels.  Default FULL f32 —
+    measured perf-IDENTICAL to bf16 operands at the flagship geometry
+    (58.1 vs 57.2 us; the kernel is extraction/issue-bound, not
+    MXU-pass-bound), and strictly MORE precise than the DEFAULT
+    single-pass-bf16 XLA contractions this path replaces.
+    DEEPCGP_PALLAS_CROSS_BF16=1 opts in to bf16 operands (f32
+    accumulate) for geometries where the MXU rate dominates; interpret
+    mode (CPU oracles) always stays f32."""
+    return (not interpret
+            and os.environ.get('DEEPCGP_PALLAS_CROSS_BF16', '0') == '1')
 
 
 def _geometry(view):
@@ -106,6 +126,15 @@ def _geometry(view):
 # sweep: [b, P] -> [b*P, 1] reshapes (lane->sublane relayout; the flat
 # row norm is computed directly in [bP, 1] form instead) and dropping a
 # TRAILING unit dim ([b, P, 1] -> [b, P]).
+#
+# Second Mosaic failure class (round-5 digits geometry, M=64):
+# [bP, M] <-> [b, P, M] reshapes lower as "unsupported shape cast" when
+# M < 128 lanes.  Every patch-axis fold/unfold around the flat [bP, M]
+# kernel matrix therefore runs as a 2-D matmul against small selection
+# matrices built OUTSIDE the kernel: segu [b, bP] with
+# segu[n, n*P+p] = u_p (kzx = segu @ K; AU = segu^T @ dKzx), seg0 its
+# 0/1 indicator, and qt [bP, P] with qt[n*P+p, p] = 1 (folds a [1, bP]
+# row of per-(n, p) partials to the [1, P] patch gradient).
 
 
 def _zn_row(Zv):
@@ -116,15 +145,32 @@ def _zn_row(Zv):
                            preferred_element_type=Zv.dtype)
 
 
+def _make_dot(bf16):
+    """dot_general, optionally with bf16 operands + f32 accumulation (the
+    DEFAULT-precision semantics of the XLA path this kernel replaces).
+    See :func:`_bf16` for the measured default (full f32 — the kernels
+    are extraction/issue-bound, so the operand precision is perf-neutral
+    at shipped geometries)."""
+    def dot(a, b, dims, batch=((), ())):
+        out_dt = a.dtype
+        if bf16:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return lax.dot_general(a, b, (dims, batch),
+                               preferred_element_type=out_dt)
+    return dot
+
+
 # --------------------------------------------------------------- forward
-def _fwd_kernel(img_ref, z_ref, scal_ref, u_ref, wkd_ref, kzx_ref, kd_ref,
+def _fwd_kernel(img_ref, z_ref, scal_ref, segu_ref, wkd_ref, kzx_ref, kd_ref,
                 patches_ref, *, f, stride, dilation, Hout, Wout, C,
-                with_kdiag):
+                with_kdiag, bf16):
     b = img_ref.shape[0]
     P = Hout * Wout
     M, L = z_ref.shape
     var = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
+    dot = _make_dot(bf16)
 
     extract_into(img_ref[:], patches_ref, f=f, stride=stride,
                  dilation=dilation, Hout=Hout, Wout=Wout, C=C)
@@ -134,22 +180,18 @@ def _fwd_kernel(img_ref, z_ref, scal_ref, u_ref, wkd_ref, kzx_ref, kd_ref,
 
     flat = patches.reshape(b * P, L)
     pnc = jnp.sum(flat * flat, axis=1, keepdims=True)       # [bP, 1]
-    cross = lax.dot_general(flat, Zv, (((1,), (1,)), ((), ())),
-                            preferred_element_type=flat.dtype)  # [bP, M]
+    cross = dot(flat, Zv, ((1,), (1,)))                     # [bP, M]
     D = pnc + zn - 2.0 * cross
     K = var * jnp.exp(gamma * jnp.maximum(D, 0.0))
-    u2 = u_ref[:]                                           # [1, P]
-    # Kzx = sum_p u_p K: contract P — [1, P] x [b, P, M] -> [1, b, M].
-    kzx = lax.dot_general(u2, K.reshape(b, P, M),
-                          (((1,), (1,)), ((), ())),
-                          preferred_element_type=K.dtype)
-    kzx_ref[:] = kzx.reshape(b, M)
+    # Kzx[n] = sum_p u_p K[n*P+p]: one [b, bP] x [bP, M] matmul against
+    # the weight-selection matrix (see the Mosaic note — no [bP, M] ->
+    # [b, P, M] shape cast; Mosaic rejects it at M < 128).
+    kzx_ref[:] = dot(segu_ref[:], K, ((1,), (0,)))
 
     if with_kdiag:
         pn = jnp.sum(patches * patches, axis=-1)            # [b, P]
-        G = lax.dot_general(patches, patches,
-                            (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=flat.dtype)  # [b, P, P]
+        G = dot(patches, patches, ((2,), (2,)),
+                batch=((0,), (0,)))                         # [b, P, P]
         E = pn[:, :, None] + pn[:, None, :] - 2.0 * G
         Kd = var * jnp.exp(gamma * jnp.maximum(E, 0.0))
         w2 = wkd_ref[:]                                     # [1, P]
@@ -174,7 +216,8 @@ def _fwd_call(NHWC_X, Z, variance, gamma, u, wkd, view, with_kdiag,
                       jnp.asarray(gamma, dt)]).reshape(1, 2)
     kern = functools.partial(_fwd_kernel, f=f, stride=s, dilation=d,
                              Hout=Hout, Wout=Wout, C=C,
-                             with_kdiag=with_kdiag)
+                             with_kdiag=with_kdiag, bf16=_bf16(interpret))
+    segu = jnp.kron(jnp.eye(b, dtype=dt), u.reshape(1, P).astype(dt))
     kzx, kd = pl.pallas_call(
         kern,
         grid=(N // b,),
@@ -183,7 +226,7 @@ def _fwd_call(NHWC_X, Z, variance, gamma, u, wkd, view, with_kdiag,
             pl.BlockSpec((M, L), lambda i: (0, 0)),
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P), lambda i: (0, 0)),
+            pl.BlockSpec((b, b * P), lambda i: (0, 0)),
             pl.BlockSpec((1, P), lambda i: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((b, M), lambda i: (i, 0)),
@@ -192,20 +235,22 @@ def _fwd_call(NHWC_X, Z, variance, gamma, u, wkd, view, with_kdiag,
                    jax.ShapeDtypeStruct((N, 1), dt)],
         scratch_shapes=[pltpu.VMEM((b, P, L), dt)],
         interpret=interpret,
-    )(img, Z, scal, u.reshape(1, P).astype(dt), wkd.reshape(1, P).astype(dt))
+    )(img, Z, scal, segu, wkd.reshape(1, P).astype(dt))
     return kzx, kd[:, 0]
 
 
 # -------------------------------------------------------------- backward
-def _bwd_kernel(img_ref, z_ref, scal_ref, u_ref, wkd_ref, dkzx_ref, dkd_ref,
+def _bwd_kernel(img_ref, z_ref, scal_ref, segu_ref, seg0_ref, qt_ref,
+                wkd_ref, dkzx_ref, dkd_ref,
                 dimg_ref, dz_ref, misc_ref,
                 patches_ref, *, f, stride, dilation, Hout, Wout, C,
-                with_kdiag):
+                with_kdiag, bf16):
     b = img_ref.shape[0]
     P = Hout * Wout
     M, L = z_ref.shape
     var = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
+    dot = _make_dot(bf16)
 
     extract_into(img_ref[:], patches_ref, f=f, stride=stride,
                  dilation=dilation, Hout=Hout, Wout=Wout, C=C)
@@ -215,16 +260,16 @@ def _bwd_kernel(img_ref, z_ref, scal_ref, u_ref, wkd_ref, dkzx_ref, dkd_ref,
 
     flat = patches.reshape(b * P, L)
     pnc = jnp.sum(flat * flat, axis=1, keepdims=True)       # [bP, 1]
-    cross = lax.dot_general(flat, Zv, (((1,), (1,)), ((), ())),
-                            preferred_element_type=flat.dtype)  # [bP, M]
+    cross = dot(flat, Zv, ((1,), (1,)))                     # [bP, M]
     D = pnc + zn - 2.0 * cross
     Dhat = jnp.maximum(D, 0.0)
     K = var * jnp.exp(gamma * Dhat)                          # [bP, M]
     one = jnp.ones((), K.dtype)
 
     A = dkzx_ref[:]                                          # [b, M]
-    u2 = u_ref[:]                                            # [1, P]
-    AU = (A[:, None, :] * u2[:, :, None]).reshape(b * P, M)
+    # AU[n*P+p] = u_p * A[n]: the selection-matrix transpose (see the
+    # Mosaic note — no [b, P, M] -> [bP, M] shape cast).
+    AU = dot(segu_ref[:], A, ((0,), (0,)))                   # [bP, M]
     AUK = AU * K                                             # [bP, M]
     # Chained single-axis reductions only (see the Mosaic note above).
     dvar = jnp.sum(jnp.sum(AUK, axis=1, keepdims=True),
@@ -233,30 +278,25 @@ def _bwd_kernel(img_ref, z_ref, scal_ref, u_ref, wkd_ref, dkzx_ref, dkd_ref,
                      axis=0, keepdims=True)
     # d/dD of var*exp(gamma*max(D,0)): gamma*K on D > 0, else 0.
     T = AUK * (gamma * jnp.where(D > 0, one, 0.0 * one))
-    dflat = lax.dot_general(T, Zv, (((1,), (0,)), ((), ())),
-                            preferred_element_type=K.dtype) * -2.0  # [bP, L]
-    dZ = lax.dot_general(T, flat, (((0,), (0,)), ((), ())),
-                         preferred_element_type=K.dtype) * -2.0     # [M, L]
+    dflat = dot(T, Zv, ((1,), (0,))) * -2.0                  # [bP, L]
+    dZ = dot(T, flat, ((0,), (0,))) * -2.0                   # [M, L]
     dpn = jnp.sum(T, axis=1, keepdims=True)                  # [bP, 1]
     # dzn in COLUMN form directly (a [1, M] -> [M, 1] relayout is a
     # Mosaic-suspect transpose): T^T-contraction against a ones column.
     ones_x = jnp.ones((b * P, 1), K.dtype)
-    dzn_col = lax.dot_general(T, ones_x, (((0,), (0,)), ((), ())),
-                              preferred_element_type=K.dtype)  # [M, 1]
-    # du_p = sum_{n, m} A[n, m] K[n, p, m]: batched contract over M, then
-    # a [1, b] x [b, P] matmul folds the batch — all >= 2-D.
-    t1 = lax.dot_general(K.reshape(b, P, M), A,
-                         (((2,), (1,)), ((0,), (0,))),
-                         preferred_element_type=K.dtype)     # [b, P]
+    dzn_col = dot(T, ones_x, ((0,), (0,)))                   # [M, 1]
+    # du_p = sum_{n, m} A[n, m] K[n*P+p, m]: F[n, j] = sum_m A[n, m] K[j, m]
+    # masked to each image's own rows (seg0), folded over n, then over the
+    # patch replicas (qt) — three 2-D matmuls, no 3-D reshape of K.
+    F = dot(A, K, ((1,), (1,)))                              # [b, bP]
     ones_b = jnp.ones((1, b), K.dtype)
-    du = lax.dot_general(ones_b, t1, (((1,), (0,)), ((), ())),
-                         preferred_element_type=K.dtype)     # [1, P]
+    t_row = dot(ones_b, F * seg0_ref[:], ((1,), (0,)))       # [1, bP]
+    du = dot(t_row, qt_ref[:], ((1,), (0,)))                 # [1, P]
 
     if with_kdiag:
         pn = jnp.sum(patches * patches, axis=-1)             # [b, P]
-        G = lax.dot_general(patches, patches,
-                            (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=K.dtype)  # [b, P, P]
+        G = dot(patches, patches, ((2,), (2,)),
+                batch=((0,), (0,)))                          # [b, P, P]
         E = pn[:, :, None] + pn[:, None, :] - 2.0 * G
         Ehat = jnp.maximum(E, 0.0)
         Kd = var * jnp.exp(gamma * Ehat)
@@ -271,16 +311,14 @@ def _bwd_kernel(img_ref, z_ref, scal_ref, u_ref, wkd_ref, dkzx_ref, dkd_ref,
         dgamma = dgamma + jnp.sum(gsum, axis=0, keepdims=True)
         S = base * (gamma * jnp.where(E > 0, one, 0.0 * one))
         Ssym = S + jnp.swapaxes(S, 1, 2)
-        dflat = dflat + lax.dot_general(
-            Ssym, patches, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=K.dtype).reshape(b * P, L) * -2.0
+        dflat = dflat + dot(Ssym, patches, ((2,), (1,)),
+                            batch=((0,), (0,))).reshape(b * P, L) * -2.0
         dpn3 = jnp.sum(Ssym, axis=2, keepdims=True)          # [b, P, 1]
         # dKdiag/dw_r = d/P^2 * sum_q w_q (Kd_rq + Kd_qr).
         KdS = Kd + jnp.swapaxes(Kd, 1, 2)
         tmp = jnp.sum(KdS * w2[:, None, :], axis=2)          # [b, P]
         tmp = (dd * tmp) / (P * P)                           # [b, P]
-        dwkd = lax.dot_general(ones_b, tmp, (((1,), (0,)), ((), ())),
-                               preferred_element_type=K.dtype)  # [1, P]
+        dwkd = dot(ones_b, tmp, ((1,), (0,)))                # [1, P]
     else:
         dpn3 = None
         dwkd = jnp.zeros((1, P), K.dtype)
@@ -319,8 +357,11 @@ def _bwd_call(NHWC_X, Z, variance, gamma, u, wkd, view, with_kdiag,
                       jnp.asarray(gamma, dt)]).reshape(1, 2)
     kern = functools.partial(_bwd_kernel, f=f, stride=s, dilation=d,
                              Hout=Hout, Wout=Wout, C=C,
-                             with_kdiag=with_kdiag)
+                             with_kdiag=with_kdiag, bf16=_bf16(interpret))
     PL = -(-max(P, 2) // 128) * 128
+    segu = jnp.kron(jnp.eye(b, dtype=dt), u.reshape(1, P).astype(dt))
+    seg0 = jnp.asarray(np.kron(np.eye(b), np.ones((1, P))), dt)
+    qt = jnp.asarray(np.tile(np.eye(P), (b, 1)), dt)         # [bP, P]
     dimg, dz, misc = pl.pallas_call(
         kern,
         grid=(nb,),
@@ -329,7 +370,9 @@ def _bwd_call(NHWC_X, Z, variance, gamma, u, wkd, view, with_kdiag,
             pl.BlockSpec((M, L), lambda i: (0, 0)),
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P), lambda i: (0, 0)),
+            pl.BlockSpec((b, b * P), lambda i: (0, 0)),
+            pl.BlockSpec((b, b * P), lambda i: (0, 0)),
+            pl.BlockSpec((b * P, P), lambda i: (0, 0)),
             pl.BlockSpec((1, P), lambda i: (0, 0)),
             pl.BlockSpec((b, M), lambda i: (i, 0)),
             pl.BlockSpec((b, 1), lambda i: (i, 0)),
@@ -346,7 +389,7 @@ def _bwd_call(NHWC_X, Z, variance, gamma, u, wkd, view, with_kdiag,
         ],
         scratch_shapes=[pltpu.VMEM((b, P, L), dt)],
         interpret=interpret,
-    )(img, Z, scal, u.reshape(1, P).astype(dt), wkd.reshape(1, P).astype(dt),
+    )(img, Z, scal, segu, seg0, qt, wkd.reshape(1, P).astype(dt),
       dkzx, dkd.reshape(N, 1))
     # Per-block partials -> full gradients (tiny [nb, ...] sums).
     dimg = dimg.reshape(NHWC_X.shape)
