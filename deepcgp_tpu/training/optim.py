@@ -400,10 +400,16 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
         # explicit R^-1 was only ever used in this one product, and its
         # O(np^3/6) block assembly was ~150us/step of dispatch-bound
         # [20, 64, 64] einsums plus a 49us final apply (round-4 roofline
-        # per-source table).  Default panel=64 measured best end-to-end
-        # (380/426.6/414.6 steps/s at panel 32/64/128, gen-2 era).
+        # per-source table).  Panel 64 measured best end-to-end at the
+        # flagship M=384 (380/426.6/414.6 steps/s at panel 32/64/128,
+        # gen-2 era), but at M=1024 the np=16 blocking explodes into a
+        # bandwidth-bound 136-einsum back-substitution chain: panel 128
+        # measured 815.3 vs 1672.4 us/call on the [10, 1024, 1024] stack
+        # (panel 256 regresses to 1227 — base-case serial cost; a
+        # tri_inv_doubling + dense-apply route measured 1486).
+        M_panel = 128 if M >= 512 else pallas_linalg.PANEL
         W_new = pallas_linalg.chol_right_solve_upper(
-            G, W, precision=_STATE_PRECISION)
+            G, W, panel=M_panel, precision=_STATE_PRECISION)
     else:
         # XLA route (CPU meshes, f64 oracles): lower Cholesky of the
         # index-reversed matrix, then R^-1 = J Lgf^-1 J (flip both axes,
