@@ -214,8 +214,25 @@ def restore_train_state(directory: str, abstract_state):
       round-to-nearest of the restored value — subsequent stores go
       through the optimizer's own stochastic rounding — and bf16->f32 is
       exact.  Shape/structure mismatches still propagate unmasked."""
+    import jax
     import orbax.checkpoint as ocp
-    from orbax.checkpoint.checkpoint_utils import construct_restore_args
+
+    def construct_restore_args(tpl):
+        # NUMPY restore with an explicit cast to each template leaf's dtype.
+        # NOT checkpoint_utils.construct_restore_args: that pins every
+        # restored array to the TEMPLATE's sharding (a committed
+        # single-device placement for a freshly built state), and committed
+        # arrays then refuse to feed the pjit'd multi-process chunk
+        # ("incompatible devices"; caught by the two-process resume e2e).
+        # Host arrays stay uncommitted, so the sharded and single-device
+        # paths both accept them, exactly like freshly initialized state.
+        def one(t):
+            dt = getattr(t, 'dtype', None)
+            if dt is None:
+                return ocp.RestoreArgs()
+            return ocp.RestoreArgs(restore_type=np.ndarray, dtype=dt)
+        return jax.tree_util.tree_map(one, tpl)
+
     directory = os.path.abspath(directory)
     step = latest_train_state_step(directory)
     if step is None:
