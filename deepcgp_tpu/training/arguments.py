@@ -42,6 +42,15 @@ def default_parser() -> argparse.ArgumentParser:
     parser.add_argument('--identity-mean', action='store_true')
     parser.add_argument('--load-model', type=str, default=None)
     # TPU-rebuild extensions (not in the reference):
+    parser.add_argument('--natgrad-warm-steps', type=int, default=0,
+                        help="NatGrad only: run this many Adam steps first, "
+                             "then hand the warmed model to NatGrad.  From "
+                             "the builder's cold 1e-5-scaled q_sqrt init, "
+                             "NatGrad sits on a chance-level plateau (small "
+                             "gamma) or diverges into Cholesky backoff "
+                             "(large gamma); a short Adam phase places the "
+                             "variational state in the basin (PARITY.md "
+                             "'NatGrad convergence on digits').")
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--mesh', type=str, default='',
                         help="Device mesh spec, e.g. 'data=4' or "

@@ -180,6 +180,47 @@ class Experiment:
         else:
             self.X_train_dev = jnp.asarray(X_flat)
             self.Y_train_dev = jnp.asarray(self.Y_train)
+        # --natgrad-warm-steps: a fresh NatGrad run (step 0 — resumes and
+        # --load-model restarts skip this) first trains the model with Adam
+        # for a short phase, then reinitializes the NatGrad state from the
+        # warmed model.
+        warm = int(getattr(self.flags, 'natgrad_warm_steps', 0) or 0)
+        if (self.flags.optimizer == 'NatGrad' and warm > 0
+                and int(self.state.step) == 0):
+            self._natgrad_warm_start(warm)
+
+    def _natgrad_warm_start(self, warm_steps: int):
+        """Adam warm start for NatGrad (`--natgrad-warm-steps`).
+
+        From the builder's cold 1e-5-scaled q_sqrt init
+        (`conv_gp/experiment.py:115-129` semantics), NatGrad spends
+        thousands of steps at chance-level accuracy under a small gamma0
+        and overshoots into Cholesky-failure backoff under a large one;
+        a short Adam phase places the variational state in the basin and
+        NatGrad then matches or beats Adam from the first eval (measured
+        on UCI digits — PARITY.md 'NatGrad convergence on digits').
+        TPU-build extension alongside the reference's gamma step-back
+        machinery (`conv_gp/experiment.py:74-80`)."""
+        cfg = TrainConfig(optimizer='Adam', lr=self.flags.lr,
+                          lr_decay_steps=self.flags.lr_decay_steps,
+                          gamma=self.flags.gamma,
+                          batch_size=self.flags.batch_size,
+                          lr_staircase=self.config.lr_staircase)
+        key = jax.random.PRNGKey(self.flags.seed + 1)
+        st = trainer.init_state(self.model, cfg, key)
+        if self.mesh is not None:
+            from deepcgp_tpu.parallel.train import make_sharded_train_fns
+            _, chunk = make_sharded_train_fns(self.mesh, cfg)
+            st, _ = chunk(st, self.X_train_dev, self.Y_train_dev,
+                          warm_steps)
+        else:
+            st, _ = trainer.run_chunk(st, cfg, self.X_train_dev,
+                                      self.Y_train_dev, warm_steps)
+        self.model = st.model
+        self.state = trainer.init_state(
+            self.model, self.config, jax.random.PRNGKey(self.flags.seed + 1),
+            global_step=self.initial_step)
+        print(f"natgrad warm start: {warm_steps} Adam steps", flush=True)
 
     def _setup_logger(self):
         from deepcgp_tpu.utils.profiling import StepsPerSecLogger

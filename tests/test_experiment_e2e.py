@@ -60,6 +60,34 @@ def test_eval_key_fresh_per_step():
     assert not np.array_equal(k100, np.asarray(eval_key(1, 100)))
 
 
+def test_natgrad_warm_start_flag(tmp_path):
+    """--natgrad-warm-steps N runs N Adam steps before handing the warmed
+    model to NatGrad: the variational state moves off the cold init, the
+    global step stays 0 (the warm phase is a pre-phase, not schedule
+    progress), and the subsequent NatGrad chunk trains normally."""
+    cold = MNIST(_args(tmp_path, '--optimizer', 'NatGrad',
+                       '--no-tensorboard'))
+    cold.conclude()
+    exp = MNIST(read_args([
+        '--name', 'ngwarm', '-N', '64', '-M', '4,4',
+        '--feature-maps', '2', '--filter-sizes', '5,5', '--strides', '2,2',
+        '--test-every', '2', '--lr-decay-steps', '4', '--test-size', '32',
+        '--num-samples', '2', '--batch-size', '8',
+        '--log-dir', str(tmp_path), '--no-tensorboard',
+        '--optimizer', 'NatGrad', '--natgrad-warm-steps', '3']))
+    try:
+        assert exp.global_step == 0
+        assert exp.state.prev_model is not ()  # NatGrad state, not Adam's
+        # The warm Adam phase moved the variational state off the cold init.
+        assert not np.allclose(np.asarray(exp.state.model.layers[0].q_mu),
+                               np.asarray(cold.state.model.layers[0].q_mu))
+        exp.train_step()
+        assert np.isfinite(exp.last_mean_elbo)
+        assert exp.global_step == 2
+    finally:
+        exp.conclude()
+
+
 def test_digits_experiment_real_data_lifecycle(tmp_path):
     """The UCI-digits entry wires REAL data through the full Experiment
     lifecycle (the only entry whose data needs no synthetic fallback):
