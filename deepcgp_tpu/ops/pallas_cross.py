@@ -439,14 +439,18 @@ def kernel_supported(kernel) -> bool:
     """True when ``kernel`` (an AdditivePatchKernel/ConvKernel instance)
     may evaluate its (Kzx, Kdiag) pair through the fused path: scalar-
     lengthscale RBF base, FullView geometry, VMEM-fitting block, knob on
-    (OPT-IN until the end-to-end TPU A/B proves it out:
-    DEEPCGP_PALLAS_CROSS=1 enables on TPU, DEEPCGP_PALLAS_FORCE=1 enables
-    off-TPU in interpret mode)."""
+    (default ON on TPU after the round-5 end-to-end A/B — flagship Adam
+    997.0 -> 1003.9 steps/s, flagship NatGrad 720.3 -> 779.7 (+8.2%),
+    NatGrad ELBO trace bit-comparable (-15180.3 vs -15180.4), digits
+    probe engages the M=64 forms and stays >= 0.97; DEEPCGP_PALLAS_CROSS=0
+    disables for A/B, DEEPCGP_PALLAS_FORCE=1 enables off-TPU in interpret
+    mode)."""
     from deepcgp_tpu.models.base_kernels import RBF
     from deepcgp_tpu.models.conv_kernels import AdditivePatchKernel
     from deepcgp_tpu.models.views import FullView
 
-    default = '1' if pallas_linalg.forced() else '0'
+    default = ('1' if jax.default_backend() == 'tpu'
+               or pallas_linalg.forced() else '0')
     if os.environ.get('DEEPCGP_PALLAS_CROSS', default) == '0':
         return False
     if not isinstance(kernel, AdditivePatchKernel):   # ConvKernel subclasses
