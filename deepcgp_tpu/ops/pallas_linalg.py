@@ -311,27 +311,50 @@ def _factor_blocks_lower(A: jax.Array, P: int, np_: int,
     return Lb, Dinv
 
 
+def _sym_from_tril(D: jax.Array) -> jax.Array:
+    """Symmetrize a square block from its LOWER triangle:
+    tril(D) + tril(D, -1)^T.  Bit-identical to D when D is already
+    symmetric; makes the upper-factor drivers below consume only the
+    lower triangle of their input (see `_factor_blocks_upper`)."""
+    return jnp.tril(D) + jnp.swapaxes(jnp.tril(D, -1), -1, -2)
+
+
 def _factor_blocks_upper(A: jax.Array, P: int, np_: int,
                          interpret: bool | None):
     """Upper mirror of :func:`_factor_blocks_lower`: the recurrence starts
     at the bottom-right corner, so R (upper, R R^T = A) comes out with
-    zero index-reverse ops.  Returns (Rb {(i,k): block, i <= k}, Dinv)."""
+    zero index-reverse ops.  Returns (Rb {(i,k): block, i <= k}, Dinv,
+    Rcols {k: the UNSPLIT [B, kP, P] panel above diag block k}) — the
+    right-looking solver consumes the panels whole (one meaty update
+    einsum per step instead of k dispatch-bound [B, P, P] products).
+
+    Reads ONLY the lower triangle of A: panel solves take the lower
+    block-row (A21, the transpose of the A12 the math names — identical
+    values for symmetric A, contracted directly by dot_general with no
+    transpose op), and diagonal blocks are symmetrized from their lower
+    triangle.  This lets the NatGrad caller pass G as a tril-masked
+    matmul epilogue — I + gamma*tril(W^T dW) — instead of materializing
+    sym(phi(W^T dW)) through a [R, M, M] transpose + two assembly passes
+    (~260us/step at M=1024, round-5 roofline).  Bit-identical for
+    symmetric inputs."""
     HI = lax.Precision.HIGHEST
-    Rb, Dinv = {}, {}
+    Rb, Dinv, Rcols = {}, {}, {}
     rem = A
     for k in range(np_ - 1, 0, -1):
-        Rkk, Rkkinv = chol_inv_base_upper(rem[:, -P:, -P:],
+        Rkk, Rkkinv = chol_inv_base_upper(_sym_from_tril(rem[:, -P:, -P:]),
                                           interpret=interpret)
         Rb[(k, k)] = Rkk
         Dinv[k] = Rkkinv
-        A12 = rem[:, :-P, -P:]                               # [B, kP, P]
-        R12 = jnp.einsum('brp,bqp->brq', A12, Rkkinv, precision=HI)
+        A21 = rem[:, -P:, :-P]                               # [B, P, kP]
+        R12 = jnp.einsum('bpr,bqp->brq', A21, Rkkinv, precision=HI)
         rem = rem[:, :-P, :-P] - jnp.einsum(
             'brp,bsp->brs', R12, R12, precision=HI)
+        Rcols[k] = R12
         for i in range(k):
             Rb[(i, k)] = R12[:, i * P:(i + 1) * P]
-    Rb[(0, 0)], Dinv[0] = chol_inv_base_upper(rem, interpret=interpret)
-    return Rb, Dinv
+    Rb[(0, 0)], Dinv[0] = chol_inv_base_upper(_sym_from_tril(rem),
+                                              interpret=interpret)
+    return Rb, Dinv, Rcols
 
 
 def chol_inv_batched(A: jax.Array, *, panel: int = PANEL,
@@ -421,9 +444,9 @@ def chol_inv_batched_upper(A: jax.Array, *, panel: int = PANEL,
     HI = lax.Precision.HIGHEST
 
     if np_ == 1:
-        return chol_inv_base_upper(A, interpret=interpret)
+        return chol_inv_base_upper(_sym_from_tril(A), interpret=interpret)
 
-    Rb, Dinv = _factor_blocks_upper(A, P, np_, interpret)
+    Rb, Dinv, _ = _factor_blocks_upper(A, P, np_, interpret)
 
     Xb = {}
     for c in range(np_):
@@ -453,13 +476,17 @@ def chol_right_solve_upper(A: jax.Array, X: jax.Array, *,
     :func:`chol_inv_batched_upper` — ~50 dispatch-bound [B, P, P] einsums
     at np=6 (~150us/step on the NatGrad flagship, tools/roofline.py
     per-source table) — plus the final [B, M, M] x [B, M, M] apply
-    (~49us).  Solving the PRODUCT directly is plain block
-    back-substitution on Y R^T = X,
+    (~49us).  Solving the PRODUCT directly is block back-substitution
+    on Y R^T = X, in RIGHT-LOOKING form: at step k (np-1 .. 0)
 
-        Y_k = (X_k - sum_{l>k} Y_l R[k,l]^T) Rkk^-T,   k = np-1 .. 0,
+        Y_k  = rem_k Rkk^-T                      (one [B, N, P] product)
+        rem  = rem[:, :, :-P] - Y_k Rcol_k^T     (ONE [B,N,P]x[B,kP,P])
 
-    np(np+1)/2 [B, N, P] einsums total — fewer, meatier matmuls, and
-    exact (associativity aside) vs the inverse-then-multiply route.
+    where Rcol_k is the unsplit [B, kP, P] factor panel straight out of
+    :func:`_factor_blocks_upper`.  2*np einsums total vs the left-looking
+    np(np+1)/2 dispatch-bound [B, N, P]x[B, P, P] products (np=8 at
+    M=1024: 16 vs 36 dispatches), same FLOPs, and the trailing update is
+    one meaty MXU matmul per step.
 
     The factor phase is identical to :func:`chol_inv_batched_upper`
     (Pallas base cases at HIGHEST); ``precision`` governs only the
@@ -471,19 +498,21 @@ def chol_right_solve_upper(A: jax.Array, X: jax.Array, *,
     np_ = M // P
 
     if np_ == 1:
-        _, Dinv0 = chol_inv_base_upper(A, interpret=interpret)
+        _, Dinv0 = chol_inv_base_upper(_sym_from_tril(A),
+                                       interpret=interpret)
         return jnp.einsum('bnp,bqp->bnq', X, Dinv0, precision=precision)
 
     # Shared factor phase; the diagonal Rkk blocks it stores are unused
-    # here (back-substitution needs only the off-diagonals and Dinv).
-    Rb, Dinv = _factor_blocks_upper(A, P, np_, interpret)
+    # here (back-substitution needs only the panels and Dinv).
+    _, Dinv, Rcols = _factor_blocks_upper(A, P, np_, interpret)
 
     Yb = {}
-    for k in range(np_ - 1, -1, -1):
-        acc = X[:, :, k * P:(k + 1) * P]                   # [B, N, P]
-        for l in range(k + 1, np_):
-            acc = acc - jnp.einsum('bnp,bqp->bnq', Yb[l], Rb[(k, l)],
-                                   precision=precision)
-        Yb[k] = jnp.einsum('bnp,bqp->bnq', acc, Dinv[k],
-                           precision=precision)
+    rem = X
+    for k in range(np_ - 1, 0, -1):
+        Yk = jnp.einsum('bnp,bqp->bnq', rem[:, :, -P:], Dinv[k],
+                        precision=precision)
+        Yb[k] = Yk
+        rem = rem[:, :, :-P] - jnp.einsum('bnp,brp->bnr', Yk, Rcols[k],
+                                          precision=precision)
+    Yb[0] = jnp.einsum('bnp,bqp->bnq', rem, Dinv[0], precision=precision)
     return jnp.concatenate([Yb[k] for k in range(np_)], axis=2)

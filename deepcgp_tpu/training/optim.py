@@ -382,16 +382,24 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
     dmu = dq_mu.T
     dW = jnp.tril(dq_sqrt)
 
-    P = _phi(jnp.matmul(jnp.swapaxes(W, -1, -2), dW))
-    H = 0.5 * (P + jnp.swapaxes(P, -1, -2))      # sym(phi(W^T dW))
+    XtW = jnp.matmul(jnp.swapaxes(W, -1, -2), dW)  # X = W^T dW
     M = W.shape[-1]
-    G = 2.0 * gamma * H + jnp.eye(M, dtype=W.dtype)
     # The exchange-identity factor in UPPER form: G = R R^T with R
     # upper-triangular gives U = R^-T — lower-triangular with positive
     # diagonal and U U^T = G^-1 — so W_new = W R^-T directly; the
     # transpose is absorbed into the dot_general's contracting dims
     # (both operands contract their LAST axis; no transpose copy).
     if _use_pallas_factor(W.dtype, M):
+        # H = sym(phi(X)) is purely STRUCTURAL symmetrization (phi(X) is
+        # lower-triangular), so H_ij = X_ij / 2 for every i >= j — only
+        # tril(X) is ever consumed, and the Pallas upper factor reads
+        # only the lower triangle (pallas_linalg._factor_blocks_upper).
+        # G's lower triangle is therefore ONE tril-mask fused into the
+        # matmul epilogue — no phi select, no [R, M, M] transpose, no
+        # sym/assembly passes (~260us/step at M=1024, round-5 roofline).
+        # gamma*X is bit-identical to (2*gamma)*(X/2): exact exponent
+        # shifts around one multiply.
+        G = gamma * jnp.tril(XtW) + jnp.eye(M, dtype=W.dtype)
         # Batch-parallel Pallas factorization of G (XLA's batched chol
         # custom call runs the batch SERIALLY — [20,384,384] ~1.25ms on
         # v5e), upper variant so the exchange identity's [R, M, M] index
@@ -411,9 +419,13 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
         W_new = pallas_linalg.chol_right_solve_upper(
             G, W, panel=M_panel, precision=_STATE_PRECISION)
     else:
-        # XLA route (CPU meshes, f64 oracles): lower Cholesky of the
-        # index-reversed matrix, then R^-1 = J Lgf^-1 J (flip both axes,
-        # no transpose).
+        # XLA route (CPU meshes, f64 oracles): needs the full symmetric G
+        # (jnp.linalg.cholesky of the flipped matrix reads G's UPPER
+        # triangle); lower Cholesky of the index-reversed matrix, then
+        # R^-1 = J Lgf^-1 J (flip both axes, no transpose).
+        P = _phi(XtW)
+        H = 0.5 * (P + jnp.swapaxes(P, -1, -2))  # sym(phi(W^T dW))
+        G = 2.0 * gamma * H + jnp.eye(M, dtype=W.dtype)
         Lgf = jnp.linalg.cholesky(G[..., ::-1, ::-1])
         I = jnp.broadcast_to(jnp.eye(M, dtype=W.dtype), W.shape)
         Lgfinv = lax.linalg.triangular_solve(Lgf, I, left_side=True,

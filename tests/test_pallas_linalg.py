@@ -167,3 +167,30 @@ def test_chol_factor_batched_matches_numpy(M, panel):
                                np.linalg.cholesky(np.asarray(A)),
                                rtol=1e-9, atol=1e-9)
     assert (np.triu(np.asarray(L), 1) == 0).all()
+
+
+@pytest.mark.parametrize('M,panel', [(64, 64), (384, 64), (256, 128)])
+def test_upper_drivers_read_only_tril(M, panel):
+    """The upper factor drivers consume ONLY the lower triangle of A
+    (diag blocks symmetrized in-driver) — the contract behind the
+    NatGrad G = I + gamma*tril(W^T dW) byte-removal (optim.py).  Feeding
+    garbage in the strict upper triangle must not change the result."""
+    rng = np.random.RandomState(7)
+    B, N = 3, M
+    S = _spd(rng, B, M)
+    garbage = np.triu(rng.randn(B, M, M) * 1e6, 1)
+    S_dirty = np.tril(S) + garbage
+    X = jnp.asarray(rng.randn(B, N, M))
+
+    clean = pallas_linalg.chol_right_solve_upper(
+        jnp.asarray(S), X, panel=panel, interpret=True)
+    dirty = pallas_linalg.chol_right_solve_upper(
+        jnp.asarray(S_dirty), X, panel=panel, interpret=True)
+    np.testing.assert_array_equal(np.asarray(clean), np.asarray(dirty))
+
+    Rc, Ric = pallas_linalg.chol_inv_batched_upper(
+        jnp.asarray(S), panel=panel, interpret=True)
+    Rd, Rid = pallas_linalg.chol_inv_batched_upper(
+        jnp.asarray(S_dirty), panel=panel, interpret=True)
+    np.testing.assert_array_equal(np.asarray(Rc), np.asarray(Rd))
+    np.testing.assert_array_equal(np.asarray(Ric), np.asarray(Rid))

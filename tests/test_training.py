@@ -855,3 +855,32 @@ def test_resume_across_moment_dtype_change(tmp_path, monkeypatch):
         assert r.dtype == t.dtype
         np.testing.assert_array_equal(np.asarray(r, np.float32),
                                       np.asarray(orig, np.float32))
+
+
+def test_natgrad_pallas_branch_matches_theta_roundtrip(monkeypatch):
+    """The Pallas natgrad branch (G = I + gamma*tril(W^T dW) consumed by
+    the tril-only upper factor — the round-5 byte removal) must equal the
+    explicit theta round trip, like the XLA branch above.  Forced Pallas
+    in interpret mode on the CPU platform; f32 + PANEL-aligned M so
+    optim._use_pallas_factor admits the shapes."""
+    monkeypatch.setenv('DEEPCGP_PALLAS_FORCE', '1')
+    rng = np.random.RandomState(11)
+    from deepcgp_tpu.ops import pallas_linalg
+    R, M = 3, 2 * pallas_linalg.PANEL
+    A = rng.randn(R, M, M)
+    S = (A @ np.swapaxes(A, -1, -2) / M + 5.0 * np.eye(M))
+    q_sqrt = jnp.asarray(np.linalg.cholesky(S), jnp.float32)
+    q_mu = jnp.asarray(rng.randn(M, R), jnp.float32)
+    dq_mu = jnp.asarray(rng.randn(M, R), jnp.float32)
+    dq_sqrt = jnp.asarray(rng.randn(R, M, M), jnp.float32)
+    assert optim._use_pallas_factor(q_sqrt.dtype, M)
+    for gamma in (1e-3, 1e-2):
+        g = jnp.asarray(gamma, jnp.float32)
+        mu_f, W_f = optim.natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, g)
+        mu_t, W_t = optim.natgrad_update_theta(q_mu, q_sqrt, dq_mu,
+                                               dq_sqrt, g)
+        assert np.isfinite(np.asarray(W_f)).all(), gamma
+        np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_t),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(W_f), np.asarray(W_t),
+                                   rtol=2e-4, atol=2e-5)
