@@ -213,10 +213,106 @@ def col2im_into(g, acc_ref, *, f, stride, dilation, Hout, Wout, C):
     """Accumulate the col2im of ``g`` (a [b, Wout*Hout, f*f*C] VALUE in
     transposed patch order) into ``acc_ref`` (a zero-initialised
     [b, H, W*C] ref).  Shared with the fused cross-covariance backward
-    (ops/pallas_cross.py)."""
+    (ops/pallas_cross.py).
+
+    Three forms (DEEPCGP_COL2IM_FORM knob):
+
+    * 'rmw' (default): the original shifted-slice accumulation — f*Wout
+      overlapping read-modify-writes through the ref (x Hout rows when
+      stride > 1).  MEASURED FASTEST at the flagship shape (1005 steps/s
+      end-to-end).
+    * 'dot': per-(dy, ox) lane placement as a matmul against an
+      iota-built 0/1 selection matrix [fC, WC], f-way value
+      accumulation, f band RMWs.  MEASURED DEAD END at the flagship
+      shape (961 steps/s, -4.4%): 30 extra [192, 50]x[50, 100] dots cost
+      more issue slots than the shortened RMW chain saves — same lesson
+      as the gen-5 mini-panel base kernels (CLAUDE.md).  Kept for
+      geometries with much wider fC/WC where shift instruction count
+      dominates.
+    * 'tree': lane placement by zero-padded concat into VALUES (same VPU
+      shift work as 'rmw'), per-dy value accumulation, f band RMWs at
+      stride 1 / one store per covered row otherwise — shortens the
+      serialized ref chain 6x without adding MXU work.
+    """
     b, H, WC = acc_ref.shape
-    acc_ref[:] = jnp.zeros((b, H, WC), acc_ref.dtype)
     fC = f * C
+    dt = acc_ref.dtype
+    form = os.environ.get('DEEPCGP_COL2IM_FORM', 'rmw')
+
+    if form in ('dot', 'tree'):
+        acc_ref[:] = jnp.zeros((b, H, WC), dt)
+        if form == 'dot':
+            # S_ox[j, c] = 1 iff lane j of a dy-piece lands at image lane
+            # c = ox*stride*C + j + (j // C)*(dilation - 1)*C.
+            j_grid = jax.lax.broadcasted_iota(jnp.int32, (fC, WC), 0)
+            c_grid = jax.lax.broadcasted_iota(jnp.int32, (fC, WC), 1)
+            tgt = j_grid + (j_grid // C) * (dilation - 1) * C
+        # Per-dy lane-placed accumulators [b, Hout, WC] (values, not refs).
+        accs = []
+        for dy in range(f):
+            accv = None
+            for ox in range(Wout):
+                piece = g[:, ox * Hout:(ox + 1) * Hout,
+                          dy * fC:(dy + 1) * fC]        # [b, Hout, fC]
+                if form == 'dot':
+                    S = (c_grid == tgt
+                         + ox * stride * C).astype(piece.dtype)
+                    contrib = jax.lax.dot_general(
+                        piece.reshape(b * Hout, fC), S,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=dt).reshape(b, Hout, WC)
+                else:
+                    # Zero-padded lane placement; dilation spaces the
+                    # filter columns by dilation*C lanes.
+                    lane0 = ox * stride * C
+                    parts, cur = [], 0
+
+                    def _fill(upto, parts=parts):
+                        nonlocal cur
+                        if upto > cur:
+                            parts.append(jnp.zeros((b, Hout, upto - cur),
+                                                   dt))
+                            cur = upto
+                    if dilation == 1:
+                        _fill(lane0)
+                        parts.append(piece.astype(dt))
+                        cur += fC
+                    else:
+                        for dx in range(f):
+                            _fill(lane0 + dx * dilation * C)
+                            parts.append(
+                                piece[:, :, dx * C:(dx + 1) * C]
+                                .astype(dt))
+                            cur += C
+                    _fill(WC)
+                    contrib = (jnp.concatenate(parts, axis=2)
+                               if len(parts) > 1 else parts[0])
+                accv = contrib if accv is None else accv + contrib
+            accs.append(accv)
+        if stride == 1:
+            # Rows dy..dy+Hout-1 are contiguous: one band RMW per dy
+            # (f-deep dependency chain vs the old f*Wout-deep one).
+            for dy in range(f):
+                r0 = dy * dilation
+                acc_ref[:, r0:r0 + Hout, :] = (
+                    acc_ref[:, r0:r0 + Hout, :] + accs[dy])
+            return
+        # stride > 1: each covered output row r = dy*dilation + oy*stride
+        # is written ONCE with the in-value sum of its contributions.
+        by_row = {}
+        for dy in range(f):
+            for oy in range(Hout):
+                by_row.setdefault(dy * dilation + oy * stride,
+                                  []).append((dy, oy))
+        for r, pairs in sorted(by_row.items()):
+            tot = None
+            for dy, oy in pairs:
+                sl = accs[dy][:, oy:oy + 1, :]
+                tot = sl if tot is None else tot + sl
+            acc_ref[:, r:r + 1, :] = tot
+        return
+
+    acc_ref[:] = jnp.zeros((b, H, WC), dt)
 
     def _acc(rows, lo, width, piece):
         # Strided ref slices don't lower (same Mosaic gather limit as the
